@@ -1,0 +1,71 @@
+"""Offset-normalized cubic / bicubic spline evaluation.
+
+The reference stores cubic splines as four per-cell coefficient tables
+(c0..c3) and evaluates the polynomial in the *global* normalized coordinate
+u = (x - offset)/scale with the coefficients gathered from the cell
+containing u (equilibrium.hpp ``build_1D_spline``, :1120-1131 - the
+offset/scale algebra there is exactly the expansion of
+c0 + c1*u + c2*u^2 + c3*u^3 in powers of raw x).  Bicubic surfaces use 16
+tables c_ab and evaluate sum_ab c_ab * v^b * u^a (equilibrium.hpp
+``efit::build_psi``, :1278-1313: four 1D splines in z combined cubically
+in r).
+
+Derivatives: coefficients are piecewise constant w.r.t. the coordinate
+(tables.py), so autodiff differentiates the polynomial only - matching the
+reference's symbolic ``df`` through ``piecewise_*`` nodes.
+"""
+
+import jax.numpy as jnp
+
+from graph_framework_tpu.ops.tables import table_index_1d
+
+
+def spline_1d(c0, c1, c2, c3, x, scale, offset):
+    """Evaluate a 1D cubic spline from four coefficient tables.
+
+    Equivalent to ``equilibrium::build_1D_spline`` applied to four
+    ``piecewise_1D`` gathers (equilibrium.hpp:1120-1131): the value is the
+    Horner evaluation c0[i] + u*(c1[i] + u*(c2[i] + u*c3[i])) with
+    u = (x - offset)/scale and i = clamp(trunc(u)).
+    """
+    u = (x - offset) / scale
+    idx = table_index_1d(x, scale, offset, c0.shape[0])
+    a0 = jnp.take(c0, idx, axis=0)
+    a1 = jnp.take(c1, idx, axis=0)
+    a2 = jnp.take(c2, idx, axis=0)
+    a3 = jnp.take(c3, idx, axis=0)
+    return a0 + u * (a1 + u * (a2 + u * a3))
+
+
+def eval_cubic_1d(coeffs, x, scale, offset):
+    """Evaluate a 1D cubic spline from a stacked (4, n) coefficient array."""
+    return spline_1d(coeffs[0], coeffs[1], coeffs[2], coeffs[3],
+                     x, scale, offset)
+
+
+def eval_bicubic_2d(coeffs, x, x_scale, x_offset, y, y_scale, y_offset):
+    """Evaluate a bicubic spline surface from a (4, 4, nr, nc) table stack.
+
+    ``coeffs[a, b]`` is the (nr, nc) table of the u^a * v^b coefficient where
+    u = (x - x_offset)/x_scale indexes rows and v = (y - y_offset)/y_scale
+    indexes columns.  Mirrors ``efit::build_psi``
+    (equilibrium.hpp:1278-1313): 16 piecewise_2D gathers, a cubic in v per
+    row of coefficients, then a cubic in u.
+
+    The 16 gathers share one (i, j) cell index - the TPU-friendly layout
+    gathers a single (4, 4) block per point instead of 16 scalar lookups
+    (the reference's USE_INDEX_CACHE optimisation, piecewise.hpp:256-325,
+    done at the data-layout level).
+    """
+    _, _, num_rows, num_cols = coeffs.shape
+    u = (x - x_offset) / x_scale
+    v = (y - y_offset) / y_scale
+    i = table_index_1d(x, x_scale, x_offset, num_rows)
+    j = table_index_1d(y, y_scale, y_offset, num_cols)
+    block = coeffs[:, :, i, j]                      # (4, 4) [+ batch dims]
+    # cubic in v for each power of u: c_a = sum_b block[a, b] * v^b
+    vpow = jnp.stack([jnp.ones_like(v), v, v * v, v * v * v])
+    ca = jnp.tensordot(block, vpow, axes=[[1], [0]]) if block.ndim == 2 \
+        else jnp.einsum("ab...,b...->a...", block, vpow)
+    # cubic in u: ((c3*u + c2)*u + c1)*u + c0
+    return ca[0] + u * (ca[1] + u * (ca[2] + u * ca[3]))
