@@ -1,0 +1,91 @@
+"""Benchmark: ray-steps/s/chip on the reference's xrays_bench configuration.
+
+Mirrors graph_benchmark/xrays_bench.cpp:41-132 - rk4 + cold_plasma +
+efit.nc, 100k rays, sub_steps=10 - and reports integrator ray-steps per
+second per chip (setup/init/compile excluded, as the reference's scaling
+measurements do; graph_docs/code_performance.dox:24-25).
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline normalizes against 1e6 ray-steps/s/chip - the order of the
+reference's single-A100 throughput inferred from its "800x one CPU core"
+claim (code_performance.dox:27-30); no absolute numbers are published.
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# persistent compile cache: first-ever compile of the step kernel takes
+# minutes on this backend; subsequent runs hit the cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(REPO / ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+EFIT_FILE = "/root/reference/graph_tests/efit.nc"
+NUM_RAYS = int(os.environ.get("BENCH_RAYS", 100_000))
+NUM_STEPS = int(os.environ.get("BENCH_STEPS", 100))   # recorded steps
+SUB_STEPS = int(os.environ.get("BENCH_SUB_STEPS", 10))
+BASELINE_RAY_STEPS_PER_S = 1.0e6
+
+
+def main():
+    from graph_framework_tpu.models import make_efit
+    from graph_framework_tpu.models import dispersion as disp
+    from graph_framework_tpu.solver import Solver, make_ray_state, init_k
+
+    dtype = jnp.float32
+    eq = make_efit(EFIT_FILE, dtype=dtype)
+    state = make_ray_state(NUM_RAYS, w=500.0, x=2.5, y=0.0, z=0.0,
+                           kx=-500.0, ky=0.0, kz=0.0, dtype=dtype)
+
+    sol = Solver(disp.cold_plasma, eq, method="rk4",
+                 dt=1.0 / (NUM_STEPS * SUB_STEPS), sub_steps=SUB_STEPS)
+
+    t0 = time.perf_counter()
+    state = init_k(state, disp.cold_plasma, eq, "kx",
+                   tolerance=1.0e-10, max_iterations=100)
+    jax.block_until_ready(state)
+    t_init = time.perf_counter() - t0
+
+    step = sol.step_fn()
+    t0 = time.perf_counter()
+    state = step(state)       # compile + first step
+    jax.block_until_ready(state)
+    t_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(NUM_STEPS - 1):
+        state = step(state)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    integrator_steps = (NUM_STEPS - 1) * SUB_STEPS
+    ray_steps_per_s = NUM_RAYS * integrator_steps / elapsed
+
+    print(json.dumps({
+        "metric": "ray-steps/s/chip (rk4+cold_plasma+EFIT, "
+                  f"{NUM_RAYS} rays f32)",
+        "value": round(ray_steps_per_s, 1),
+        "unit": "ray-steps/s",
+        "vs_baseline": round(ray_steps_per_s / BASELINE_RAY_STEPS_PER_S, 4),
+    }))
+    print(f"# init {t_init:.1f}s  first-step(compile) {t_compile:.1f}s  "
+          f"steps {elapsed:.1f}s  final x[0] {float(state.x[0]):.4f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

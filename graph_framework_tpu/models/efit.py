@@ -1,0 +1,216 @@
+"""EFIT tokamak equilibrium: bicubic psi(R, Z) + cubic profiles of psi.
+
+TPU-native counterpart of ``equilibrium::efit`` + ``make_efit`` (reference:
+graph_framework/equilibrium.hpp:1145-1844).  The spline coefficient tables
+live in HBM as a single (4, 4, nr, nz) stack (one 16-value block gather per
+point instead of 16 scalar lookups - the layout-level version of the
+reference's USE_INDEX_CACHE / texture tricks, piecewise.hpp:256-325), and the
+field derivatives dpsi/dr, dpsi/dz come from ``jax.grad`` of the spline
+evaluation, exactly where the reference uses symbolic ``df``
+(equilibrium.hpp:1366,1375).
+
+File format: NetCDF4/HDF5 with scalars psimin/dpsi/rmin/dr/zmin/dz and
+scale factors, 1D profile tables {ne,te,pressure,fpol}_c0..c3[numpsi], and
+2D tables psi_cAB[numr, numz] where A is the power of the normalized radius
+and B the power of the normalized height (equilibrium.hpp:84-115 and
+make_efit:1627-1844).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_framework_tpu.models.equilibrium import Equilibrium
+from graph_framework_tpu.ops.spline import eval_cubic_1d, eval_bicubic_2d
+from graph_framework_tpu.ops.newton import newton_solve_multi
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EfitEquilibrium(Equilibrium):
+    """Tokamak equilibrium from EFIT bicubic-spline data."""
+
+    # 2D psi tables, stacked (4, 4, nr, nz): [r_power, z_power, i, j].
+    psi_coeffs: jax.Array
+    # 1D profile tables, stacked (4, numpsi).
+    ne_coeffs: jax.Array
+    te_coeffs: jax.Array
+    pres_coeffs: jax.Array
+    fpol_coeffs: jax.Array
+
+    # grid/profile normalization (compile-time constants, like the
+    # reference's baked-in scale/offset kernel literals).
+    psimin: float = dataclasses.field(metadata=dict(static=True))
+    dpsi: float = dataclasses.field(metadata=dict(static=True))
+    rmin: float = dataclasses.field(metadata=dict(static=True))
+    dr: float = dataclasses.field(metadata=dict(static=True))
+    zmin: float = dataclasses.field(metadata=dict(static=True))
+    dz: float = dataclasses.field(metadata=dict(static=True))
+    ne_scale: float = dataclasses.field(metadata=dict(static=True))
+    te_scale: float = dataclasses.field(metadata=dict(static=True))
+    pres_scale: float = dataclasses.field(metadata=dict(static=True))
+    # True when the coefficient tables were rebased to cell-local
+    # coordinates at load time (well-conditioned evaluation; see
+    # ops.spline.rebase_cells_*).
+    cell_local: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+
+    @property
+    def ion_masses(self):
+        # Single deuterium species (equilibrium.hpp:1475).
+        return (3.34449469e-27,)
+
+    @property
+    def ion_charges(self):
+        return (1,)
+
+    # -- flux surface ------------------------------------------------------
+    def psi_rz(self, r, z):
+        """psi(R, Z) via the bicubic stack (efit::build_psi,
+        equilibrium.hpp:1278-1313)."""
+        return eval_bicubic_2d(self.psi_coeffs, r, self.dr, self.rmin,
+                               z, self.dz, self.zmin,
+                               local=self.cell_local)
+
+    def psi(self, pos):
+        r = jnp.sqrt(pos[0] * pos[0] + pos[1] * pos[1])
+        return self.psi_rz(r, pos[2])
+
+    # -- profiles (cubic splines of psi; equilibrium.hpp:1338-1362) --------
+    def electron_density(self, pos):
+        return self.ne_scale * eval_cubic_1d(
+            self.ne_coeffs, self.psi(pos), self.dpsi, self.psimin,
+            local=self.cell_local)
+
+    def electron_temperature(self, pos):
+        return self.te_scale * eval_cubic_1d(
+            self.te_coeffs, self.psi(pos), self.dpsi, self.psimin,
+            local=self.cell_local)
+
+    def pressure(self, pos):
+        return self.pres_scale * eval_cubic_1d(
+            self.pres_coeffs, self.psi(pos), self.dpsi, self.psimin,
+            local=self.cell_local)
+
+    def ion_density(self, index, pos):
+        # Faithful to the reference: ni_cache = te_cache
+        # (equilibrium.hpp:1361).  Physically this should be ne, but the
+        # reference ships (and is golden-tested) with the te profile here;
+        # its contribution to cold-plasma D is ~1e-15 of the electron term,
+        # which is presumably why it went unnoticed.  Replicated for
+        # trajectory parity.
+        return self.electron_temperature(pos)
+
+    def ion_temperature(self, index, pos):
+        # ti = (pressure - ne te q) / (ni q) with q = 1.60218e-19
+        # (note: the reference uses this rounded q here, not the exact
+        # elementary charge; equilibrium.hpp:1358-1362).
+        q = 1.60218e-19
+        ne = self.electron_density(pos)
+        te = self.electron_temperature(pos)
+        ni = self.ion_density(index, pos)
+        return (self.pressure(pos) - ne * te * q) / (ni * q)
+
+    # -- magnetic field (equilibrium.hpp:1364-1382) ------------------------
+    def magnetic_field(self, pos):
+        x, y, z = pos[0], pos[1], pos[2]
+        r = jnp.sqrt(x * x + y * y)
+
+        # dpsi/dz and dpsi/dr by autodiff of the spline (the reference
+        # differentiates the spline graph symbolically at :1366,:1375).
+        psi_val, dpsi_dz = jax.value_and_grad(self.psi_rz, argnums=1)(r, z)
+        dpsi_dr = jax.grad(self.psi_rz, argnums=0)(r, z)
+
+        br = dpsi_dz / r
+        bp = eval_cubic_1d(self.fpol_coeffs, psi_val, self.dpsi,
+                           self.psimin, local=self.cell_local) / r
+        bz = -dpsi_dr / r
+
+        phi = jnp.arctan2(y, x)
+        c, s = jnp.cos(phi), jnp.sin(phi)
+        return jnp.stack([br * c - bp * s, br * s + bp * c, bz])
+
+    def characteristic_field(self):
+        """|B| at the magnetic axis, found by Newton on the normalized flux
+        from the seed (1.7, 0, 0) with step 0.1
+        (equilibrium.hpp:1584-1615)."""
+
+        def fl(xa, za):
+            p = jnp.stack([xa, jnp.zeros_like(xa), za])
+            return (self.psi(p) - self.psimin) / self.dpsi
+
+        x0 = jnp.asarray(1.7, dtype=self.psi_coeffs.dtype)
+        z0 = jnp.asarray(0.0, dtype=self.psi_coeffs.dtype)
+        (xa, za), _, _ = newton_solve_multi(
+            fl, (x0, z0), tolerance=1.0e-30, max_iterations=1000, step=0.1)
+        pos = jnp.stack([xa, jnp.zeros_like(xa), za])
+        b = self.magnetic_field(pos)
+        return jnp.sqrt(jnp.sum(b * b))
+
+
+def make_efit(path, dtype=jnp.float64, replicate_reference_quirks=True,
+              cell_local=True):
+    """Load an EFIT spline file (make_efit, equilibrium.hpp:1627-1844).
+
+    ``replicate_reference_quirks``: the reference's efit constructor
+    initializes the ne_c0/ne_c1 tables from the *te* tables
+    (equilibrium.hpp:1478 - `ne_c0(te_c0), ne_c1(te_c1)`), and the golden
+    data was generated against that behaviour.  True (default) replicates
+    it for trajectory/golden parity; False loads the physically-intended
+    tables.
+
+    ``cell_local``: rebase the coefficient tables to cell-local coordinates
+    at load time (extended precision).  The file stores polynomials in the
+    global normalized coordinate, whose f64 evaluation is ill-conditioned
+    (terms up to ~4e7 times the value cancel in efit.nc's psi tables, giving
+    ~4e-9 relative psi error and ~2e-8 div(B) residuals).  The rebased form
+    evaluates to near machine accuracy.  Default True; set False for
+    bit-level parity with the reference's evaluation order.
+    """
+    from graph_framework_tpu.ops.spline import rebase_cells_1d, rebase_cells_2d
+
+    with h5py.File(path, "r") as h:
+        def arr(name):
+            return np.asarray(h[name][...], dtype=np.float64)
+
+        psi = np.stack([
+            np.stack([arr(f"psi_c{a}{b}") for b in range(4)])
+            for a in range(4)])                      # (4, 4, nr, nz)
+
+        def stack1d(prefix):
+            return np.stack([arr(f"{prefix}_c{i}") for i in range(4)])
+
+        ne = stack1d("ne")
+        te = stack1d("te")
+        if replicate_reference_quirks:
+            ne = np.stack([te[0], te[1], ne[2], ne[3]])
+
+        pres = stack1d("pressure")
+        fpol = stack1d("fpol")
+        if cell_local:
+            psi = rebase_cells_2d(psi)
+            ne, te = rebase_cells_1d(ne), rebase_cells_1d(te)
+            pres, fpol = rebase_cells_1d(pres), rebase_cells_1d(fpol)
+
+        return EfitEquilibrium(
+            psi_coeffs=jnp.asarray(psi, dtype=dtype),
+            ne_coeffs=jnp.asarray(ne, dtype=dtype),
+            te_coeffs=jnp.asarray(te, dtype=dtype),
+            pres_coeffs=jnp.asarray(pres, dtype=dtype),
+            fpol_coeffs=jnp.asarray(fpol, dtype=dtype),
+            cell_local=cell_local,
+            psimin=float(arr("psimin")),
+            dpsi=float(arr("dpsi")),
+            rmin=float(arr("rmin")),
+            dr=float(arr("dr")),
+            zmin=float(arr("zmin")),
+            dz=float(arr("dz")),
+            ne_scale=float(arr("ne_scale")),
+            te_scale=float(arr("te_scale")),
+            pres_scale=float(arr("pres_scale")),
+        )

@@ -1,0 +1,146 @@
+"""Runge-Kutta / symplectic steppers over RayState pytrees.
+
+TPU-native counterpart of the ``solver::rk2/rk4/adaptive_rk4/
+split_simplextic`` classes (reference: graph_framework/solver.hpp:550-1131).
+The reference re-derives the ray equations at shifted states by wrapping the
+shifted expressions in pseudo-variables (solver.hpp:642-649, 811-855); in
+JAX a substage is simply the RHS function applied to a shifted state - the
+retracing is free and exact.
+
+Every stepper maps ``(rhs, state, dt) -> next_state`` where ``dt`` is a
+scalar or per-ray array in normalized time units (t' = c t, meters).
+All steppers advance ``t`` by dt and leave ``w`` untouched.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from graph_framework_tpu.models.rays import RayState, RayDerivatives
+
+
+def _shift(state: RayState, d: RayDerivatives, f, dt_shift=None) -> RayState:
+    """state + f*derivs, advancing t by dt_shift (default f... explicit)."""
+    return RayState(
+        t=state.t + (0.0 if dt_shift is None else dt_shift),
+        w=state.w,
+        x=state.x + f * d.dxdt,
+        y=state.y + f * d.dydt,
+        z=state.z + f * d.dzdt,
+        kx=state.kx + f * d.dkxdt,
+        ky=state.ky + f * d.dkydt,
+        kz=state.kz + f * d.dkzdt,
+    )
+
+
+def rk2_step(rhs: Callable, state: RayState, dt) -> RayState:
+    """Heun's method (solver.hpp rk2:95-125): k1 at the state, k2 at
+    state + k1, average."""
+    d1 = rhs(state)
+    s2 = _shift(state, d1, dt, dt_shift=dt)
+    d2 = rhs(s2)
+    half = dt / 2.0
+    return RayState(
+        t=state.t + dt,
+        w=state.w,
+        x=state.x + half * (d1.dxdt + d2.dxdt),
+        y=state.y + half * (d1.dydt + d2.dydt),
+        z=state.z + half * (d1.dzdt + d2.dzdt),
+        kx=state.kx + half * (d1.dkxdt + d2.dkxdt),
+        ky=state.ky + half * (d1.dkydt + d2.dkydt),
+        kz=state.kz + half * (d1.dkzdt + d2.dkzdt),
+    )
+
+
+def rk4_step(rhs: Callable, state: RayState, dt) -> RayState:
+    """Classical RK4 (solver.hpp rk4:263-330)."""
+    half = dt / 2.0
+    d1 = rhs(state)
+    d2 = rhs(_shift(state, d1, half, dt_shift=half))
+    d3 = rhs(_shift(state, d2, half, dt_shift=half))
+    d4 = rhs(_shift(state, d3, dt, dt_shift=dt))
+    sixth = dt / 6.0
+    return RayState(
+        t=state.t + dt,
+        w=state.w,
+        x=state.x + sixth * (d1.dxdt + 2.0 * (d2.dxdt + d3.dxdt) + d4.dxdt),
+        y=state.y + sixth * (d1.dydt + 2.0 * (d2.dydt + d3.dydt) + d4.dydt),
+        z=state.z + sixth * (d1.dzdt + 2.0 * (d2.dzdt + d3.dzdt) + d4.dzdt),
+        kx=state.kx + sixth * (d1.dkxdt + 2.0 * (d2.dkxdt + d3.dkxdt)
+                               + d4.dkxdt),
+        ky=state.ky + sixth * (d1.dkydt + 2.0 * (d2.dkydt + d3.dkydt)
+                               + d4.dkydt),
+        kz=state.kz + sixth * (d1.dkzdt + 2.0 * (d2.dkzdt + d3.dkzdt)
+                               + d4.dkzdt),
+    )
+
+
+def split_symplectic_step(rhs: Callable, state: RayState, dt) -> RayState:
+    """Position-kick-position splitting (solver.hpp split_simplextic:
+    1016-1130): half drift with dx/dt at the current k, full kick of k at
+    the drifted position, half drift with dx/dt at the new k.
+
+    Valid only for separable Hamiltonians (dx/dt independent of x, dk/dt
+    independent of k); the reference asserts this symbolically
+    (solver.hpp:1076-1094), see ``check_separable`` for the numeric
+    equivalent.
+    """
+    half = dt / 2.0
+    d1 = rhs(state)
+    # half drift (positions only)
+    s1 = RayState(t=state.t, w=state.w,
+                  x=state.x + half * d1.dxdt,
+                  y=state.y + half * d1.dydt,
+                  z=state.z + half * d1.dzdt,
+                  kx=state.kx, ky=state.ky, kz=state.kz)
+    d2 = rhs(s1)
+    # full kick (wave numbers only)
+    s2 = RayState(t=s1.t, w=s1.w, x=s1.x, y=s1.y, z=s1.z,
+                  kx=state.kx + dt * d2.dkxdt,
+                  ky=state.ky + dt * d2.dkydt,
+                  kz=state.kz + dt * d2.dkzdt)
+    d3 = rhs(s2)
+    return RayState(
+        t=state.t + dt, w=state.w,
+        x=s1.x + half * d3.dxdt,
+        y=s1.y + half * d3.dydt,
+        z=s1.z + half * d3.dzdt,
+        kx=s2.kx, ky=s2.ky, kz=s2.kz)
+
+
+def check_separable(rhs: Callable, state: RayState, rtol=1e-6) -> bool:
+    """Numeric stand-in for the reference's symbolic separability assert
+    (solver.hpp:1076-1094): finite-difference dx/dt w.r.t. position and
+    dk/dt w.r.t. wave number at the given sample states; all must vanish.
+    """
+    d0 = rhs(state)
+    scale = max(float(jnp.max(jnp.abs(d0.dxdt))),
+                float(jnp.max(jnp.abs(d0.dkxdt))), 1e-30)
+    eps = 1e-6
+
+    def bump(**kw):
+        return state._replace(**{k: getattr(state, k) + v
+                                 for k, v in kw.items()})
+
+    ok = True
+    for field in ("x", "y", "z"):
+        d = rhs(bump(**{field: eps}))
+        for comp in ("dxdt", "dydt", "dzdt"):
+            ok &= float(jnp.max(jnp.abs(
+                getattr(d, comp) - getattr(d0, comp)))) <= rtol * scale * eps * 1e6
+    for field in ("kx", "ky", "kz"):
+        d = rhs(bump(**{field: eps}))
+        for comp in ("dkxdt", "dkydt", "dkzdt"):
+            ok &= float(jnp.max(jnp.abs(
+                getattr(d, comp) - getattr(d0, comp)))) <= rtol * scale * eps * 1e6
+    return bool(ok)
+
+
+STEPPERS = {
+    "rk2": rk2_step,
+    "rk4": rk4_step,
+    "split_simplextic": split_symplectic_step,
+}

@@ -1,0 +1,150 @@
+"""Vectorized Newton root-finding with the reference's convergence loop.
+
+Replaces ``solver::newton`` + ``workflow::converge_item`` (reference:
+graph_framework/newton.hpp:34-51, workflow.hpp:179-205).  The reference JITs
+a kernel applying ``x <- x - step * f/f'(x)`` to every ray and re-runs it
+until the device-wide max of f^2 drops below tolerance, stagnates, or
+oscillates with period 2; we express the same loop as ``lax.while_loop``
+with the symbolic derivative replaced by ``jax.grad``.
+
+The residual reduction is a *global* max over the ensemble (the reference's
+max-reduction kernel, cuda_context.hpp:954-995); under a sharded ensemble
+XLA lowers ``jnp.max`` to a cross-device collective automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _abs2(v):
+    """|v|^2 as a real number (works for real and complex residuals)."""
+    if jnp.iscomplexobj(v):
+        return v.real * v.real + v.imag * v.imag
+    return v * v
+
+
+def newton_solve(f: Callable,
+                 x0,
+                 *,
+                 tolerance: float = 1.0e-30,
+                 max_iterations: int = 1000,
+                 step: float = 1.0,
+                 holomorphic: bool = False):
+    """Solve ``f(x) = 0`` for one unknown per ray.
+
+    ``f`` maps a per-ray scalar (or batched array) ``x`` to the residual of
+    the same shape; all other ray state is closed over.  Matches
+    ``solver::newton`` with a single variable: the update is
+    ``x <- x - step * f/f'`` and the loop terminates per the converge_item
+    criteria (workflow.hpp:184-204):
+
+      |max f^2| <= tol                     (converged)
+      |last - current| <= tol              (stagnation)
+      |before_last - current| <= tol       (2-cycle oscillation)
+      iterations >= max_iterations         (give up)
+
+    Returns ``(x, converged, iterations)``.
+    """
+    df = _elementwise_grad(f, holomorphic=holomorphic)
+
+    def residual_max(x):
+        return jnp.max(_abs2(f(x)).real)
+
+    def cond(state):
+        x, last, off_last, it = state
+        cur = residual_max(x)
+        keep = jnp.abs(cur) > tolerance
+        keep &= jnp.abs(last - cur) > tolerance
+        keep &= jnp.abs(off_last - cur) > tolerance
+        keep &= it < max_iterations
+        return keep
+
+    def body(state):
+        x, last, off_last, it = state
+        cur = residual_max(x)
+        new_off = jnp.where(it % 2 == 0, cur, off_last)
+        fx = f(x)
+        dfx = df(x)
+        x_new = x - step * fx / dfx
+        return x_new, cur, new_off, it + 1
+
+    big = jnp.asarray(jnp.finfo(jnp.result_type(x0.real)).max)
+    x, last, _, it = jax.lax.while_loop(
+        cond, body, (x0, big, big, jnp.asarray(0, dtype=jnp.int32)))
+    return x, residual_max(x) <= tolerance, it
+
+
+def newton_solve_multi(f: Callable,
+                       xs0: Sequence,
+                       *,
+                       tolerance: float = 1.0e-30,
+                       max_iterations: int = 1000,
+                       step: float = 1.0,
+                       holomorphic: bool = False):
+    """Simultaneous Newton on several unknowns of a shared scalar function.
+
+    Matches ``solver::newton`` with multiple vars (newton.hpp:42-47): each
+    variable gets its own setter ``x_i <- x_i - step * f/df_i`` using the
+    *partial* derivative w.r.t. that variable; all setters are applied from
+    the same pre-update state each iteration (the reference's kernel reads
+    all inputs before writing outputs).  Used by adaptive_rk4's (dt, lambda)
+    loss minimization (solver.hpp:404-431) and the EFIT axis find
+    (equilibrium.hpp:1584-1615).
+
+    ``f(*xs)`` returns the per-ray residual.  Returns ``(xs, converged, it)``.
+    """
+    n = len(xs0)
+    grads = [
+        _elementwise_grad(f, argnums=i, holomorphic=holomorphic)
+        for i in range(n)
+    ]
+
+    def residual_max(xs):
+        return jnp.max(_abs2(f(*xs)).real)
+
+    def cond(state):
+        xs, last, off_last, it = state
+        cur = residual_max(xs)
+        keep = jnp.abs(cur) > tolerance
+        keep &= jnp.abs(last - cur) > tolerance
+        keep &= jnp.abs(off_last - cur) > tolerance
+        keep &= it < max_iterations
+        return keep
+
+    def body(state):
+        xs, last, off_last, it = state
+        cur = residual_max(xs)
+        new_off = jnp.where(it % 2 == 0, cur, off_last)
+        fx = f(*xs)
+        xs_new = tuple(
+            x - step * fx / g(*xs) for x, g in zip(xs, grads))
+        return xs_new, cur, new_off, it + 1
+
+    big = jnp.asarray(jnp.finfo(jnp.result_type(xs0[0].real)).max)
+    xs, _, _, it = jax.lax.while_loop(
+        cond, body, (tuple(xs0), big, big, jnp.asarray(0, dtype=jnp.int32)))
+    return xs, residual_max(xs) <= tolerance, it
+
+
+def _elementwise_grad(f, argnums: int = 0, holomorphic: bool = False):
+    """Gradient of an elementwise function evaluated batched.
+
+    For ``f`` mapping batched arrays elementwise, df/dx_i depends only on
+    x_i, so grad-of-sum gives the batched elementwise derivative in one
+    backward pass (the vmap-free equivalent of the reference's per-ray
+    symbolic derivative kernel).
+    """
+
+    def g(*args):
+        def summed(*a):
+            val = f(*a)
+            return jnp.sum(val)
+        return jax.grad(summed, argnums=argnums,
+                        holomorphic=holomorphic)(*args)
+
+    return g

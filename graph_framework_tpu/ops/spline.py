@@ -15,12 +15,58 @@ Derivatives: coefficients are piecewise constant w.r.t. the coordinate
 reference's symbolic ``df`` through ``piecewise_*`` nodes.
 """
 
+import math
+
+import numpy as np
 import jax.numpy as jnp
 
 from graph_framework_tpu.ops.tables import table_index_1d
 
 
-def spline_1d(c0, c1, c2, c3, x, scale, offset):
+def rebase_cells_1d(coeffs):
+    """Rebase (4, n) global-coordinate cell tables to cell-local form.
+
+    The file format stores polynomials in the *global* normalized coordinate
+    u, which makes f64 evaluation ill-conditioned at large u (terms up to
+    ~4e7 times the value cancel in the efit.nc psi tables).  Rebasing each
+    cell's polynomial to t = u - i (t in [0, 1)) at load time - in extended
+    precision, so the rebase itself doesn't reintroduce the cancellation -
+    gives near-machine-accurate evaluation.  Pass the result to
+    :func:`spline_1d`/:func:`eval_cubic_1d` with ``local=True``.
+    """
+    c = np.asarray(coeffs, dtype=np.longdouble)
+    n = c.shape[1]
+    cells = np.arange(n, dtype=np.longdouble)
+    out = np.zeros((4, n), dtype=np.float64)
+    for k in range(4):
+        acc = np.zeros(n, dtype=np.longdouble)
+        for i in range(k, 4):
+            acc += math.comb(i, k) * c[i] * cells ** (i - k)
+        out[k] = acc.astype(np.float64)
+    return out
+
+
+def rebase_cells_2d(coeffs):
+    """Rebase a (4, 4, nr, nc) global-coordinate bicubic stack to
+    cell-local coordinates in both directions (see :func:`rebase_cells_1d`).
+    """
+    c = np.asarray(coeffs, dtype=np.longdouble)
+    _, _, nr, nc = c.shape
+    iu = np.arange(nr, dtype=np.longdouble)[:, None]
+    jv = np.arange(nc, dtype=np.longdouble)[None, :]
+    out = np.zeros((4, 4, nr, nc), dtype=np.float64)
+    for k in range(4):
+        for l in range(4):
+            acc = np.zeros((nr, nc), dtype=np.longdouble)
+            for a in range(k, 4):
+                for b in range(l, 4):
+                    acc += (math.comb(a, k) * math.comb(b, l)
+                            * c[a, b] * iu ** (a - k) * jv ** (b - l))
+            out[k, l] = acc.astype(np.float64)
+    return out
+
+
+def spline_1d(c0, c1, c2, c3, x, scale, offset, local=False):
     """Evaluate a 1D cubic spline from four coefficient tables.
 
     Equivalent to ``equilibrium::build_1D_spline`` applied to four
@@ -30,6 +76,8 @@ def spline_1d(c0, c1, c2, c3, x, scale, offset):
     """
     u = (x - offset) / scale
     idx = table_index_1d(x, scale, offset, c0.shape[0])
+    if local:
+        u = u - idx.astype(u.dtype)
     a0 = jnp.take(c0, idx, axis=0)
     a1 = jnp.take(c1, idx, axis=0)
     a2 = jnp.take(c2, idx, axis=0)
@@ -37,13 +85,14 @@ def spline_1d(c0, c1, c2, c3, x, scale, offset):
     return a0 + u * (a1 + u * (a2 + u * a3))
 
 
-def eval_cubic_1d(coeffs, x, scale, offset):
+def eval_cubic_1d(coeffs, x, scale, offset, local=False):
     """Evaluate a 1D cubic spline from a stacked (4, n) coefficient array."""
     return spline_1d(coeffs[0], coeffs[1], coeffs[2], coeffs[3],
-                     x, scale, offset)
+                     x, scale, offset, local=local)
 
 
-def eval_bicubic_2d(coeffs, x, x_scale, x_offset, y, y_scale, y_offset):
+def eval_bicubic_2d(coeffs, x, x_scale, x_offset, y, y_scale, y_offset,
+                    local=False):
     """Evaluate a bicubic spline surface from a (4, 4, nr, nc) table stack.
 
     ``coeffs[a, b]`` is the (nr, nc) table of the u^a * v^b coefficient where
@@ -62,6 +111,9 @@ def eval_bicubic_2d(coeffs, x, x_scale, x_offset, y, y_scale, y_offset):
     v = (y - y_offset) / y_scale
     i = table_index_1d(x, x_scale, x_offset, num_rows)
     j = table_index_1d(y, y_scale, y_offset, num_cols)
+    if local:
+        u = u - i.astype(u.dtype)
+        v = v - j.astype(v.dtype)
     block = coeffs[:, :, i, j]                      # (4, 4) [+ batch dims]
     # cubic in v for each power of u: c_a = sum_b block[a, b] * v^b
     vpow = jnp.stack([jnp.ones_like(v), v, v * v, v * v * v])

@@ -1,0 +1,74 @@
+"""Data-parallel ray sharding over a device mesh.
+
+TPU-native replacement for the reference's thread-per-device data
+parallelism (reference: graph_driver/xrays.cpp:419-527 - one std::thread,
+graph, JIT context and NetCDF file per CUDA/Metal device, rays split
+batch = N/devices, zero communication).  Here a single SPMD program runs on
+every chip: the ray axis is sharded over a 1D ``Mesh("rays")``, equilibrium
+tables are replicated, and XLA inserts the only collective the workload
+needs - the ensemble-max in the Newton convergence loop (the reference's
+per-device max-reduction kernel, cuda_context.hpp:954-995) - as an
+all-reduce over ICI.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the mesh
+and the same code spans hosts; per-host output shards mirror the
+reference's result<n>.nc-per-device scheme (io.output).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+RAY_AXIS = "rays"
+
+
+def ray_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """A 1D mesh over all (or the given) devices with axis "rays"."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (RAY_AXIS,))
+
+
+def shard_rays(tree, mesh: Mesh):
+    """Place every leaf of a ray-ensemble pytree with its leading axis
+    sharded over the mesh (pad the ensemble to a multiple of the device
+    count before calling)."""
+    sharding = NamedSharding(mesh, P(RAY_AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (equilibrium tables) on every device."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda a: jax.device_put(a, sharding) if hasattr(a, "shape") else a,
+        tree)
+
+
+def sharded_trace_fn(solver, mesh: Mesh, num_steps: int):
+    """jit the whole trace with sharded-in/sharded-out ray state.
+
+    The step itself is embarrassingly parallel; XLA keeps every per-ray
+    array sharded and runs collective-free.  Newton init (if traced inside)
+    all-reduces only its scalar convergence max.
+    """
+    state_sharding = NamedSharding(mesh, P(RAY_AXIS))
+
+    def run(state):
+        return solver.trace(state, num_steps)
+
+    return jax.jit(run, in_shardings=(state_sharding,),
+                   out_shardings=(state_sharding, state_sharding))
+
+
+def pad_to_devices(n: int, mesh: Mesh) -> int:
+    """Smallest multiple of the mesh size >= n (the reference instead gives
+    remainder rays to low-numbered threads, xrays.cpp:424-432; padding with
+    dead rays is the SPMD-friendly equivalent)."""
+    d = mesh.devices.size
+    return ((n + d - 1) // d) * d

@@ -1,0 +1,143 @@
+"""Top-level ray-tracing driver: Newton init + scan-based time loop.
+
+TPU-native counterpart of ``solver::solver_interface`` and the xrays driver
+loop (reference: graph_framework/solver.hpp:120-530,
+graph_driver/xrays.cpp:161-260).  The reference compiles one "solver_kernel"
+applying the next-state setter maps and loops it from the host; here the
+whole inner loop (sub_steps integrator steps) is one jitted function, and
+the outer loop either runs ``lax.scan`` (trajectory captured on device) or a
+host loop with asynchronous dispatch (trajectory streamed to the writer).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from graph_framework_tpu.models.rays import (
+    RayState, make_ray_rhs, residual_fn, dispersion_residual)
+from graph_framework_tpu.ops.integrators import STEPPERS
+from graph_framework_tpu.ops.newton import newton_solve
+
+
+def make_ray_state(num_rays=None, *, t=0.0, w, x=0.0, y=0.0, z=0.0,
+                   kx=0.0, ky=0.0, kz=0.0, dtype=jnp.float64) -> RayState:
+    """Build a RayState from scalars or arrays, broadcast to num_rays."""
+    leaves = dict(t=t, w=w, x=x, y=y, z=z, kx=kx, ky=ky, kz=kz)
+    if num_rays is None:
+        num_rays = max(jnp.ndim(v) and jnp.shape(v)[0] or 1
+                       for v in leaves.values())
+    return RayState(**{
+        k: jnp.broadcast_to(jnp.asarray(v, dtype=dtype), (num_rays,))
+        for k, v in leaves.items()})
+
+
+def init_k(state: RayState, dispersion, eq, which: str = "kx", *,
+           tolerance: float = 1.0e-30, max_iterations: int = 1000,
+           holomorphic: Optional[bool] = None) -> RayState:
+    """Newton-solve D = 0 for one wave-number component per ray.
+
+    Counterpart of ``solver_interface::init`` -> ``dispersion::solve`` ->
+    ``solver::newton`` (solver.hpp:252-298, dispersion.hpp:1450-1475):
+    iterate k <- k - D/dD/dk until the ensemble-max of D^2 converges.
+    """
+    if holomorphic is None:
+        holomorphic = jnp.iscomplexobj(state.w)
+    d_one = dispersion_residual(dispersion, eq)
+    vd = jax.vmap(d_one)
+
+    others = {f: getattr(state, f) for f in state._fields if f != which}
+
+    def f(kval):
+        kw = dict(others)
+        kw[which] = kval
+        s = RayState(**kw)
+        return vd(s.t, s.w, s.x, s.y, s.z, s.kx, s.ky, s.kz)
+
+    k0 = getattr(state, which)
+    k_solved, converged, _ = newton_solve(
+        f, k0, tolerance=tolerance, max_iterations=max_iterations,
+        holomorphic=holomorphic)
+    return state._replace(**{which: k_solved})
+
+
+@dataclasses.dataclass(frozen=True)
+class Solver:
+    """A compiled ray tracer for one (dispersion, equilibrium, method).
+
+    ``method``: "rk2" | "rk4" | "split_simplextic" | "adaptive_rk4".
+    ``dt``: scalar time step (ignored per-step when adaptive).
+    ``sub_steps``: integrator steps per recorded output step
+    (xrays.cpp:246-254 inner loop).
+    """
+    dispersion: Callable
+    eq: object
+    method: str = "rk4"
+    dt: float = 1.0e-4
+    sub_steps: int = 1
+    holomorphic: Optional[bool] = None
+
+    def __post_init__(self):
+        if self.method not in set(STEPPERS) | {"adaptive_rk4"}:
+            raise ValueError(f"unknown method {self.method!r}")
+
+    # -- single recorded step (sub_steps integrator steps, jitted) --------
+    def step_fn(self):
+        rhs = make_ray_rhs(self.dispersion, self.eq,
+                           holomorphic=self.holomorphic)
+
+        if self.method == "adaptive_rk4":
+            from graph_framework_tpu.ops.adaptive import adaptive_rk4_step
+            stepper = partial(adaptive_rk4_step, self.dispersion, self.eq)
+        else:
+            stepper = STEPPERS[self.method]
+
+        dt = self.dt
+        sub = self.sub_steps
+
+        @jax.jit
+        def step(state: RayState) -> RayState:
+            def body(_, s):
+                return stepper(rhs, s, dt)
+            return jax.lax.fori_loop(0, sub, body, state)
+
+        return step
+
+    def residual(self):
+        """Jitted D^2 residual (the solver kernel's diagnostic output,
+        solver.hpp:331)."""
+        return jax.jit(residual_fn(self.dispersion, self.eq))
+
+    # -- whole-trace scan (device-resident trajectory) ---------------------
+    def trace(self, state: RayState, num_steps: int):
+        """Run num_steps recorded steps; returns (final_state, trajectory)
+        where trajectory is a RayState with a leading (num_steps + 1) axis
+        including the initial state - the device-side analogue of the
+        per-step NetCDF rows (solver.hpp write_step)."""
+        step = self.step_fn()
+
+        def body(s, _):
+            s2 = step(s)
+            return s2, s2
+
+        final, traj = jax.lax.scan(body, state, None, length=num_steps)
+        full = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), state, traj)
+        return final, full
+
+    def trace_streaming(self, state: RayState, num_steps: int,
+                        writer: Callable[[int, RayState], None]):
+        """Host loop with async dispatch: the writer callback receives each
+        recorded state while the next step runs on device (the double
+        buffered writer thread of solver.hpp:418-424)."""
+        step = self.step_fn()
+        writer(0, state)
+        for i in range(1, num_steps + 1):
+            state = step(state)     # async dispatch; not blocked on write
+            writer(i, state)
+        jax.block_until_ready(state)
+        return state

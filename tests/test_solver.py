@@ -1,0 +1,108 @@
+"""Solver integration tests (port of graph_tests/solver_test.cpp).
+
+For each dispersion/solver pair: Newton-init kx so D = 0, then step and
+assert the dispersion residual stays below the init tolerance for 5 steps
+(solver_test.cpp:28-60).  Configurations mirror run_tests
+(solver_test.cpp:93-99): gaussian_density equilibrium with
+(omega0, kx0, dt) = simple(0.5, 0.25, 1.0), gaussian_well(0.5, 0.25, 1e-5),
+cold_plasma(900, 1000, 5e-5).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_framework_tpu.models import dispersion as disp
+from graph_framework_tpu.models.equilibrium import make_gaussian_density
+from graph_framework_tpu.models.rays import residual_fn
+from graph_framework_tpu.solver import Solver, make_ray_state, init_k
+
+
+CASES = [
+    # (dispersion, omega0, kx0, dt, residual_tol)
+    (disp.simple, 0.5, 0.25, 1.0, 1.0e-30),
+    (disp.gaussian_well, 0.5, 0.25, 1.0e-5, 1.0e-30),
+    (disp.cold_plasma, 900.0, 1000.0, 0.5e-4, 1.0e-25),
+]
+
+
+@pytest.mark.parametrize("method", ["rk2", "rk4"])
+@pytest.mark.parametrize(
+    "dfun,omega0,kx0,dt,tol", CASES,
+    ids=[c[0].__name__ for c in CASES])
+def test_residual_preserved(method, dfun, omega0, kx0, dt, tol):
+    eq = make_gaussian_density()
+    st = make_ray_state(1, w=omega0, kx=kx0, ky=0.25, kz=0.15,
+                        x=0.0, y=0.0, z=0.0)
+    st = init_k(st, dfun, eq, "kx", tolerance=tol)
+    res = residual_fn(dfun, eq)
+    assert float(jnp.max(res(st))) < tol * 10, "Newton init failed"
+
+    sol = Solver(dfun, eq, method=method, dt=dt, sub_steps=1)
+    step = sol.step_fn()
+    for _ in range(5):
+        st = step(st)
+        assert float(jnp.max(jnp.abs(res(st)))) < tol, (
+            "Solver failed to retain initial accuracy")
+
+
+def test_trace_scan_matches_loop():
+    """lax.scan trace must equal the step-by-step host loop."""
+    eq = make_gaussian_density()
+    st = make_ray_state(4, w=0.5, kx=0.25, ky=0.25, kz=0.15)
+    st = init_k(st, disp.simple, eq, "kx")
+    sol = Solver(disp.simple, eq, method="rk4", dt=0.5, sub_steps=2)
+    fin, traj = sol.trace(st, 6)
+    st2 = st
+    step = sol.step_fn()
+    for _ in range(6):
+        st2 = step(st2)
+    for f in st._fields:
+        np.testing.assert_allclose(np.asarray(getattr(fin, f)),
+                                   np.asarray(getattr(st2, f)), rtol=1e-14)
+    assert traj.t.shape == (7, 4)
+
+
+def test_trace_streaming_writer():
+    eq = make_gaussian_density()
+    st = make_ray_state(2, w=0.5, kx=0.25, ky=0.25, kz=0.15)
+    st = init_k(st, disp.simple, eq, "kx")
+    sol = Solver(disp.simple, eq, method="rk2", dt=0.5, sub_steps=1)
+    seen = []
+    sol.trace_streaming(st, 5, lambda i, s: seen.append((i, float(s.t[0]))))
+    assert [i for i, _ in seen] == list(range(6))
+    assert seen[-1][1] == pytest.approx(2.5)
+
+
+def test_adaptive_rk4_runs():
+    """adaptive_rk4 (solver.hpp:343-530): per-ray (dt, lambda) Newton then
+    RK4.  Check it steps and keeps the residual small on the simple
+    dispersion."""
+    eq = make_gaussian_density()
+    st = make_ray_state(2, w=0.5, kx=0.25, ky=0.25, kz=0.15)
+    st = init_k(st, disp.simple, eq, "kx")
+    sol = Solver(disp.simple, eq, method="adaptive_rk4", dt=0.5, sub_steps=1)
+    step = sol.step_fn()
+    st2 = step(st)
+    assert float(st2.t[0]) > float(st.t[0])
+    res = residual_fn(disp.simple, eq)
+    assert float(jnp.max(res(st2))) < 1e-20
+
+
+def test_split_symplectic_separable():
+    """split_simplextic on a separable case (simple dispersion in uniform
+    plasma is separable: dx/dt depends only on k, dk/dt == 0)."""
+    from graph_framework_tpu.models.equilibrium import make_slab_density
+    from graph_framework_tpu.ops.integrators import check_separable
+    from graph_framework_tpu.models.rays import make_ray_rhs
+
+    eq = make_gaussian_density()
+    st = make_ray_state(1, w=0.5, kx=0.4, ky=0.1, kz=0.1, x=3.0, y=3.0)
+    rhs = make_ray_rhs(disp.simple, eq)
+    assert check_separable(rhs, st)
+
+    sol = Solver(disp.simple, eq, method="split_simplextic", dt=0.1)
+    st2 = sol.step_fn()(st)
+    # vacuum: k unchanged, x advances along vg
+    np.testing.assert_allclose(float(st2.kx[0]), float(st.kx[0]), rtol=1e-14)
+    assert float(st2.x[0]) != float(st.x[0])
