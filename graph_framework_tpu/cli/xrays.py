@@ -1,0 +1,216 @@
+"""xrays: RF ray tracing driver (3-phase pipeline).
+
+TPU-native counterpart of graph_driver/xrays.cpp: trace rays (phase 1),
+compute the complex absorption amplitude kamp over the saved trajectory
+(phase 2), bin absorbed power along rays (phase 3) - the phases communicate
+through the result file exactly as the reference's do (xrays.cpp:1083-1111),
+making the file a checkpoint boundary.
+
+Option names mirror the reference CLI (xrays.cpp:808-880).  Notable
+semantics replicated:
+ * init_<var>_mean/sigma/dist: per-ray initial sampling (uniform = all rays
+   at the mean; normal = gaussian spread; xrays.cpp:56-97)
+ * use_cyl_xy: interpret init_x as radius, init_y as angle (xrays.cpp:76-136)
+ * the k component named by a set init_k*_mean without a _dist is
+   Newton-solved to put every ray on the dispersion surface
+   (xrays.cpp:192-204)
+ * time step dt = endtime/num_times; a row is written every sub_steps
+   integrator steps (xrays.cpp:240-254)
+
+Usage:  python -m graph_framework_tpu.cli.xrays --dispersion=cold_plasma \
+            --equilibrium=efit --equilibrium_file=efit.nc --num_rays=1000 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="xrays", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--dispersion", default="simple",
+                   choices=["simple", "bohm_gross", "ordinary_wave",
+                            "extra_ordinary_wave", "cold_plasma",
+                            "cold_plasma_expansion", "light_wave",
+                            "acoustic_wave", "ion_cyclotron",
+                            "gaussian_well", "stiff"])
+    p.add_argument("--solver", default="rk4",
+                   choices=["rk2", "rk4", "split_simplextic",
+                            "adaptive_rk4"])
+    p.add_argument("--equilibrium", default="slab",
+                   choices=["no_magnetic_field", "slab", "slab_density",
+                            "slab_field", "gaussian_density", "efit",
+                            "vmec"])
+    p.add_argument("--equilibrium_file", default=None)
+    p.add_argument("--num_rays", type=int, default=1000)
+    p.add_argument("--num_times", type=int, default=1000)
+    p.add_argument("--sub_steps", type=int, default=10)
+    p.add_argument("--endtime", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=12345)
+    for var in ("w", "x", "y", "z", "kx", "ky", "kz"):
+        p.add_argument(f"--init_{var}_mean", type=float, default=None)
+        p.add_argument(f"--init_{var}_sigma", type=float, default=0.0)
+        p.add_argument(f"--init_{var}_dist", default="uniform",
+                       choices=["uniform", "normal"])
+    p.add_argument("--use_cyl_xy", action="store_true")
+    p.add_argument("--print", dest="print_ray", action="store_true",
+                   help="print a sampled ray each recorded step")
+    p.add_argument("--print_expressions", action="store_true",
+                   help="dump the jaxprs of D and the ray RHS")
+    p.add_argument("--absorption_model", default=None,
+                   choices=["weak_damping", "root_find"])
+    p.add_argument("--output", default="result0.nc")
+    p.add_argument("--x64", action="store_true", default=True)
+    p.add_argument("--f32", dest="x64", action="store_false")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def sample_initial(args, rng, num_rays, var, default=0.0):
+    """set_variable (xrays.cpp:56-74)."""
+    mean = getattr(args, f"init_{var}_mean")
+    if mean is None:
+        mean = default
+    if getattr(args, f"init_{var}_dist") == "normal":
+        sigma = getattr(args, f"init_{var}_sigma")
+        return rng.normal(mean, sigma, num_rays)
+    return np.full(num_rays, mean)
+
+
+def make_equilibrium(args, dtype):
+    from graph_framework_tpu.models import (
+        make_no_magnetic_field, make_slab, make_slab_density,
+        make_slab_field, make_gaussian_density, make_efit, make_vmec)
+    name = args.equilibrium
+    if name == "efit":
+        return make_efit(args.equilibrium_file, dtype=dtype)
+    if name == "vmec":
+        return make_vmec(args.equilibrium_file, dtype=dtype)
+    return {"no_magnetic_field": make_no_magnetic_field,
+            "slab": make_slab,
+            "slab_density": make_slab_density,
+            "slab_field": make_slab_field,
+            "gaussian_density": make_gaussian_density}[name]()
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import os
+    # the sandbox sitecustomize force-registers the TPU plugin; honor an
+    # explicit JAX_PLATFORMS env (e.g. =cpu) through the config, which wins.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from graph_framework_tpu.models import dispersion as disp
+    from graph_framework_tpu.models.rays import RayState, residual_fn
+    from graph_framework_tpu.solver import Solver, init_k
+    from graph_framework_tpu.io.output import (
+        ResultFile, AsyncWriter, state_row)
+
+    dtype = jnp.float64 if args.x64 else jnp.float32
+    rng = np.random.default_rng(args.seed)
+    n = args.num_rays
+
+    # initial conditions (xrays.cpp:56-136)
+    vals = {v: sample_initial(args, rng, n, v)
+            for v in ("w", "x", "y", "z", "kx", "ky", "kz")}
+    if args.use_cyl_xy:
+        radius = sample_initial(args, rng, n, "x")
+        phi = sample_initial(args, rng, n, "y")
+        vals["x"] = radius * np.cos(phi)
+        vals["y"] = radius * np.sin(phi)
+    state = RayState(
+        t=jnp.zeros(n, dtype),
+        **{k if k != "w" else "w": jnp.asarray(v, dtype)
+           for k, v in vals.items()})
+
+    eq = make_equilibrium(args, dtype)
+    dfun = disp.DISPERSIONS[args.dispersion]
+
+    # Newton init on the first k component given as a bare mean
+    # (xrays.cpp:192-204)
+    for which in ("kx", "ky", "kz"):
+        if (getattr(args, f"init_{which}_mean") is not None
+                and getattr(args, f"init_{which}_dist") == "uniform"):
+            t0 = time.perf_counter()
+            state = init_k(state, dfun, eq, which)
+            if args.verbose:
+                print(f"init {which}: {time.perf_counter()-t0:.2f}s",
+                      file=sys.stderr)
+            break
+
+    dt = args.endtime / args.num_times
+    num_steps = args.num_times // args.sub_steps
+    sol = Solver(dfun, eq, method=args.solver, dt=dt,
+                 sub_steps=args.sub_steps)
+    res = jax.jit(residual_fn(dfun, eq))
+
+    if args.print_expressions:
+        from graph_framework_tpu.models.rays import make_ray_rhs
+        print(jax.make_jaxpr(make_ray_rhs(dfun, eq))(state))
+
+    sample = int(rng.integers(0, n))
+
+    with ResultFile(args.output, num_rays=n) as f:
+        for name in ("time", "residual", "w", "x", "y", "z",
+                     "kx", "ky", "kz"):
+            f.create_variable(name)
+        writer = AsyncWriter(f)
+
+        def write(i, s):
+            writer.write_step(i, state_row(s, residual=res(s)))
+            if args.print_ray:
+                print(f"step {i}: t={float(s.t[sample]):.6g} "
+                      f"x={float(s.x[sample]):.6g} "
+                      f"y={float(s.y[sample]):.6g} "
+                      f"z={float(s.z[sample]):.6g}")
+
+        t0 = time.perf_counter()
+        sol.trace_streaming(state, num_steps, write)
+        writer.close()
+        if args.verbose:
+            steps = num_steps * args.sub_steps
+            el = time.perf_counter() - t0
+            print(f"trace: {el:.2f}s = {n*steps/el:.3g} ray-steps/s",
+                  file=sys.stderr)
+
+    # phases 2+3: absorption + power binning (xrays.cpp:598-793)
+    if args.absorption_model:
+        from graph_framework_tpu.models.absorption import (
+            run_absorption, bin_power)
+        method = ("weak_damping" if args.absorption_model == "weak_damping"
+                  else "root_finder")
+        with ResultFile(args.output, mode="r+") as f:
+            run_absorption(f, eq, method=method)
+            nt = f.num_steps
+            names = ["x", "y", "z"]
+            xs = np.stack([f.read_step(i, names)["x"] for i in range(nt)])
+            ys = np.stack([f.read_step(i, names)["y"] for i in range(nt)])
+            zs = np.stack([f.read_step(i, names)["z"] for i in range(nt)])
+            kamp = np.stack([
+                f.read_step(i, ["kamp"], complex_valued=True)["kamp"]
+                for i in range(nt)])
+            power, d_power = bin_power(
+                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(zs),
+                jnp.asarray(kamp.imag))
+            f.create_variable("power")
+            f.create_variable("d_power")
+            for i in range(nt):
+                f.write_step(i, {"power": power[i], "d_power": d_power[i]})
+        if args.verbose:
+            print(f"power: min {float(power.min()):.4g}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,622 @@
+"""Traced-expression compatibility layer (graph building + workflow).
+
+The reference's user-facing embedding API is symbolic graph construction -
+``graph::variable/constant/add/.../df`` - plus a ``workflow::manager`` that
+compiles setter kernels (reference: graph_c_binding/graph_c_binding.h:177-639,
+graph_framework/workflow.hpp).  The TPU-native physics stack (models/,
+solver.py) does not need any of this - JAX traces Python functions directly -
+but legacy embedders (the C and Fortran bindings) speak this API, so this
+module provides a thin expression tree whose
+
+* ``evaluate()`` runs through jax.numpy (jitted per workflow),
+* ``df()`` applies textbook derivative rules producing new expression nodes
+  (the capability of node.hpp's symbolic autodiff without its 5kLoC rewrite
+  engine - algebraic simplification is XLA's job now),
+* ``Workflow`` mirrors manager/work_item/converge_item semantics
+  (workflow.hpp:215-425): ordered items, setter maps applied as a batch,
+  convergence loops on a max-reduced residual.
+
+This is deliberately NOT used by the performance path; see models/rays.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class Expr:
+    """Base expression node."""
+
+    _ids = itertools.count()
+
+    def __init__(self):
+        self.id = next(Expr._ids)
+
+    # -- operator sugar (matches the C API's graph_add/sub/mul/div) -------
+    def __add__(self, o):
+        return Add(self, as_expr(o))
+
+    def __radd__(self, o):
+        return Add(as_expr(o), self)
+
+    def __sub__(self, o):
+        return Sub(self, as_expr(o))
+
+    def __rsub__(self, o):
+        return Sub(as_expr(o), self)
+
+    def __mul__(self, o):
+        return Mul(self, as_expr(o))
+
+    def __rmul__(self, o):
+        return Mul(as_expr(o), self)
+
+    def __truediv__(self, o):
+        return Div(self, as_expr(o))
+
+    def __rtruediv__(self, o):
+        return Div(as_expr(o), self)
+
+    def __neg__(self):
+        return Mul(Constant(-1.0), self)
+
+    def __pow__(self, o):
+        return Pow(self, as_expr(o))
+
+    # -- interface ---------------------------------------------------------
+    def children(self) -> Tuple["Expr", ...]:
+        return ()
+
+    def emit(self, env):
+        """Return the jnp value of this node given variable values."""
+        raise NotImplementedError
+
+    def df(self, var: "Expr") -> "Expr":
+        """Symbolic derivative w.r.t. ``var`` (node.hpp df)."""
+        raise NotImplementedError
+
+    def evaluate(self, env=None):
+        """Host evaluation (leaf_node::evaluate)."""
+        return _eval(self, env or {})
+
+    # latex / visualization (node.hpp to_latex/to_vizgraph)
+    def to_latex(self) -> str:
+        raise NotImplementedError
+
+    def remove_pseudo(self) -> "Expr":
+        """Strip pseudo-variable wrappers (node.hpp remove_pseudo)."""
+        subs = tuple(c.remove_pseudo() for c in self.children())
+        if subs == self.children():
+            return self
+        return self._rebuild(subs)
+
+    def _rebuild(self, children):
+        clone = type(self).__new__(type(self))
+        clone.__dict__.update(self.__dict__)
+        clone.id = next(Expr._ids)
+        clone._set_children(children)
+        return clone
+
+    def _set_children(self, children):
+        raise NotImplementedError
+
+
+def as_expr(v):
+    return v if isinstance(v, Expr) else Constant(v)
+
+
+def _eval(root: Expr, env: Dict["Variable", np.ndarray]):
+    vals = {}
+
+    def rec(e):
+        if e.id not in vals:
+            vals[e.id] = e.emit_cached(rec, env)
+        return vals[e.id]
+
+    return rec(root)
+
+
+def walk(root: Expr):
+    """Yield every node in the tree once."""
+    seen = set()
+    stack = [root]
+    while stack:
+        e = stack.pop()
+        if e.id in seen:
+            continue
+        seen.add(e.id)
+        yield e
+        stack.extend(e.children())
+
+
+class Constant(Expr):
+    def __init__(self, value):
+        super().__init__()
+        self.value = value
+
+    def emit_cached(self, rec, env):
+        return jnp.asarray(self.value)
+
+    def df(self, var):
+        return Constant(0.0)
+
+    def is_(self, v):
+        return (not isinstance(self.value, np.ndarray)
+                and complex(self.value) == v)
+
+    def to_latex(self):
+        return f"{self.value}"
+
+
+class Variable(Expr):
+    """Named mutable buffer (node.hpp variable_node)."""
+
+    def __init__(self, size: int, value=0.0, name: str = "v"):
+        super().__init__()
+        self.size = size
+        self.name = name
+        self.data = np.full(size, value) if np.ndim(value) == 0 \
+            else np.asarray(value)
+        assert np.isfinite(self.data).all(), \
+            "NaN or inf in variable buffer (node.hpp:1426)"
+
+    def set(self, value):
+        self.data = (np.full(self.size, value)
+                     if np.ndim(value) == 0 else np.asarray(value))
+
+    def emit_cached(self, rec, env):
+        if self in env:
+            return jnp.asarray(env[self])
+        return jnp.asarray(self.data)
+
+    def df(self, var):
+        return Constant(1.0 if var is self else 0.0)
+
+    def to_latex(self):
+        return self.name
+
+
+class PseudoVariable(Expr):
+    """Wrap a subexpression so df treats it as independent
+    (node.hpp:1745-1860)."""
+
+    def __init__(self, inner: Expr):
+        super().__init__()
+        self.inner = inner
+
+    def children(self):
+        return (self.inner,)
+
+    def _set_children(self, c):
+        (self.inner,) = c
+
+    def emit_cached(self, rec, env):
+        return rec(self.inner)
+
+    def df(self, var):
+        return Constant(1.0 if var is self else 0.0)
+
+    def remove_pseudo(self):
+        return self.inner.remove_pseudo()
+
+    def to_latex(self):
+        return self.inner.to_latex()
+
+
+class _Binary(Expr):
+    sym = "?"
+
+    def __init__(self, a: Expr, b: Expr):
+        super().__init__()
+        self.a, self.b = a, b
+
+    def children(self):
+        return (self.a, self.b)
+
+    def _set_children(self, c):
+        self.a, self.b = c
+
+    def to_latex(self):
+        return f"\\left({self.a.to_latex()}{self.sym}{self.b.to_latex()}\\right)"
+
+
+class Add(_Binary):
+    sym = "+"
+
+    def emit_cached(self, rec, env):
+        return rec(self.a) + rec(self.b)
+
+    def df(self, var):
+        return self.a.df(var) + self.b.df(var)
+
+
+class Sub(_Binary):
+    sym = "-"
+
+    def emit_cached(self, rec, env):
+        return rec(self.a) - rec(self.b)
+
+    def df(self, var):
+        return self.a.df(var) - self.b.df(var)
+
+
+class Mul(_Binary):
+    sym = " "
+
+    def emit_cached(self, rec, env):
+        return rec(self.a) * rec(self.b)
+
+    def df(self, var):
+        return self.a.df(var) * self.b + self.a * self.b.df(var)
+
+
+class Div(_Binary):
+    sym = "/"
+
+    def emit_cached(self, rec, env):
+        return rec(self.a) / rec(self.b)
+
+    def df(self, var):
+        return (self.a.df(var) * self.b - self.a * self.b.df(var)) \
+            / (self.b * self.b)
+
+
+class Fma(Expr):
+    """fma(a, b, c) = a*b + c (arithmetic.hpp fma_node)."""
+
+    def __init__(self, a, b, c):
+        super().__init__()
+        self.a, self.b, self.c = as_expr(a), as_expr(b), as_expr(c)
+
+    def children(self):
+        return (self.a, self.b, self.c)
+
+    def _set_children(self, ch):
+        self.a, self.b, self.c = ch
+
+    def emit_cached(self, rec, env):
+        return rec(self.a) * rec(self.b) + rec(self.c)
+
+    def df(self, var):
+        return Fma(self.a.df(var), self.b,
+                   Fma(self.a, self.b.df(var), self.c.df(var)))
+
+    def to_latex(self):
+        return (f"\\left({self.a.to_latex()} {self.b.to_latex()}"
+                f"+{self.c.to_latex()}\\right)")
+
+
+class _Unary(Expr):
+    fn = None
+    name = "?"
+
+    def __init__(self, a: Expr):
+        super().__init__()
+        self.a = as_expr(a)
+
+    def children(self):
+        return (self.a,)
+
+    def _set_children(self, c):
+        (self.a,) = c
+
+    def emit_cached(self, rec, env):
+        return type(self).fn(rec(self.a))
+
+    def to_latex(self):
+        return f"\\{self.name}\\left({self.a.to_latex()}\\right)"
+
+
+class Sqrt(_Unary):
+    fn = jnp.sqrt
+    name = "sqrt"
+
+    def df(self, var):
+        return self.a.df(var) / (Constant(2.0) * Sqrt(self.a))
+
+
+class Exp(_Unary):
+    fn = jnp.exp
+    name = "exp"
+
+    def df(self, var):
+        return self.a.df(var) * Exp(self.a)
+
+
+class Log(_Unary):
+    fn = jnp.log
+    name = "ln"
+
+    def df(self, var):
+        return self.a.df(var) / self.a
+
+
+class Sin(_Unary):
+    fn = jnp.sin
+    name = "sin"
+
+    def df(self, var):
+        return self.a.df(var) * Cos(self.a)
+
+
+class Cos(_Unary):
+    fn = jnp.cos
+    name = "cos"
+
+    def df(self, var):
+        return Constant(-1.0) * self.a.df(var) * Sin(self.a)
+
+
+class Erfi(_Unary):
+    name = "erfi"
+
+    @staticmethod
+    def fn(x):
+        from graph_framework_tpu.ops.special import erfi as _erfi
+        return _erfi(x)
+
+    def df(self, var):
+        # d erfi/dz = 2/sqrt(pi) exp(z^2) (math.hpp erfi_node df)
+        return (Constant(2.0 / math.sqrt(math.pi))
+                * Exp(self.a * self.a) * self.a.df(var))
+
+
+class Pow(_Binary):
+    sym = "^"
+
+    def emit_cached(self, rec, env):
+        return rec(self.a) ** rec(self.b)
+
+    def df(self, var):
+        # general rule a^b (b constant in practice; math.hpp pow_node)
+        if isinstance(self.b, Constant):
+            return (self.b * Pow(self.a, Constant(self.b.value - 1))
+                    * self.a.df(var))
+        return Pow(self.a, self.b) * (
+            self.b.df(var) * Log(self.a) + self.b * self.a.df(var) / self.a)
+
+
+class Atan(_Binary):
+    """atan(x, y) = atan2(y, x) for real; atan(y/x) for complex
+    (trigonometry.hpp arctan, backend.hpp:1130-1150)."""
+    sym = ","
+
+    def emit_cached(self, rec, env):
+        x, y = rec(self.a), rec(self.b)
+        if jnp.iscomplexobj(x) or jnp.iscomplexobj(y):
+            return jnp.arctan(y / x)
+        return jnp.arctan2(y, x)
+
+    def df(self, var):
+        x, y = self.a, self.b
+        return (x * y.df(var) - y * x.df(var)) / (x * x + y * y)
+
+
+class Random(Expr):
+    """Uniform random node (random.hpp random_node): a fresh sample per
+    evaluation per element.  Carries its own counter-based state; kernels
+    use jax.random instead of the reference's Mersenne-twister device
+    code."""
+
+    def __init__(self, size: int, seed: int = 0):
+        super().__init__()
+        self.size = size
+        self.key = jax.random.PRNGKey(seed)
+
+    def emit_cached(self, rec, env):
+        # workflows feed a fresh key through env per kernel invocation
+        # (the reference advances per-thread MT state on device,
+        # random.hpp:314-340); direct evaluate() advances the node's key.
+        if self in env:
+            return jax.random.uniform(env[self], (self.size,))
+        self.key, sub = jax.random.split(self.key)
+        return jax.random.uniform(sub, (self.size,))
+
+    def df(self, var):
+        return Constant(0.0)
+
+    def to_latex(self):
+        return "\\mathrm{rand}"
+
+
+class Piecewise1D(Expr):
+    """piecewise_1D table lookup (piecewise.hpp:105-...)."""
+
+    def __init__(self, data, arg: Expr, scale, offset):
+        super().__init__()
+        self.data = np.asarray(data)
+        self.arg = as_expr(arg)
+        self.scale, self.offset = scale, offset
+
+    def children(self):
+        return (self.arg,)
+
+    def _set_children(self, c):
+        (self.arg,) = c
+
+    def emit_cached(self, rec, env):
+        from graph_framework_tpu.ops.tables import piecewise_1d
+        return piecewise_1d(jnp.asarray(self.data), rec(self.arg),
+                            self.scale, self.offset)
+
+    def df(self, var):
+        return Constant(1.0 if var is self else 0.0)
+
+    def to_latex(self):
+        return "\\mathrm{table}\\left(%s\\right)" % self.arg.to_latex()
+
+
+# factory helpers mirroring the graph:: namespace
+def variable(size, value=0.0, name="v"):
+    return Variable(size, value, name)
+
+
+def constant(v):
+    return Constant(v)
+
+
+def pseudo_variable(e):
+    return PseudoVariable(e)
+
+
+sqrt, exp, log = Sqrt, Exp, Log
+sin, cos, atan = Sin, Cos, Atan
+pow_ = Pow
+fma = Fma
+erfi = Erfi
+random = Random
+piecewise_1D = Piecewise1D
+
+
+def one():
+    return Constant(1.0)
+
+
+def zero():
+    return Constant(0.0)
+
+
+# ---------------------------------------------------------------------------
+# workflow manager (workflow.hpp:215-425)
+# ---------------------------------------------------------------------------
+
+class _Item:
+    def __init__(self, inputs, outputs, setters, name, kind="item",
+                 tol=1e-30, max_iter=1000, loops=1):
+        self.inputs = list(inputs)
+        self.outputs = list(outputs)
+        self.setters = list(setters)   # [(expr, target_variable)]
+        self.name = name
+        self.kind = kind
+        self.tol = tol
+        self.max_iter = max_iter
+        self.loops = loops
+        self._fn = None
+
+    def compile(self):
+        exprs = [e for e, _ in self.setters] + self.outputs
+        in_vars = list(self.inputs)
+        # random nodes get a fresh key per invocation (random.hpp device MT)
+        rand_nodes = sorted(
+            {r.id: r for e in exprs for r in walk(e)
+             if isinstance(r, Random)}.values(), key=lambda r: r.id)
+
+        def kernel(in_vals, keys):
+            env = dict(zip(in_vars, in_vals))
+            env.update(zip(rand_nodes, keys))
+            vals = {}
+
+            def rec(e):
+                if e.id not in vals:
+                    vals[e.id] = e.emit_cached(rec, env)
+                return vals[e.id]
+
+            return [rec(e) for e in exprs]
+
+        jitted = jax.jit(kernel)
+        self._key = jax.random.PRNGKey(1234 + len(self.setters))
+
+        def run_once():
+            in_vals = [jnp.asarray(v.data) for v in in_vars]
+            if rand_nodes:
+                self._key, *keys = jax.random.split(
+                    self._key, len(rand_nodes) + 1)
+            else:
+                keys = []
+            results = jitted(in_vals, keys)
+            # all setters read pre-update state; write as a batch
+            # (work_item setter-map semantics, workflow.hpp:21-80)
+            for (expr, tgt), val in zip(self.setters, results):
+                tgt.data = np.broadcast_to(
+                    np.asarray(val), (tgt.size,)).copy()
+            return results[len(self.setters):]
+
+        self._fn = run_once
+
+    def run(self):
+        if self.kind == "item":
+            for _ in range(self.loops):
+                out = self._fn()
+            return out
+        # converge item (workflow.hpp:179-205)
+        it = 0
+        last = off_last = float("inf")
+        out = self._fn()
+        res = float(np.max(np.abs(np.asarray(out[-1]))))
+        while (abs(res) > self.tol and abs(last - res) > self.tol
+               and abs(off_last - res) > self.tol and it < self.max_iter):
+            last = res
+            if it % 2 == 0:
+                off_last = res
+            out = self._fn()
+            res = float(np.max(np.abs(np.asarray(out[-1]))))
+            it += 1
+        return out
+
+
+class Workflow:
+    """Ordered pre-items + items (workflow::manager)."""
+
+    def __init__(self, index: int = 0):
+        self.index = index
+        self.pre_items: List[_Item] = []
+        self.items: List[_Item] = []
+
+    def add_preitem(self, inputs, outputs, setters, name="pre", **kw):
+        self.pre_items.append(_Item(inputs, outputs, setters, name, **kw))
+
+    def add_item(self, inputs, outputs, setters, name="item", **kw):
+        self.items.append(_Item(inputs, outputs, setters, name, **kw))
+
+    def add_loop_item(self, inputs, outputs, setters, name="loop",
+                      loops=1, **kw):
+        self.items.append(_Item(inputs, outputs, setters, name,
+                                loops=loops, **kw))
+
+    def add_converge_item(self, inputs, outputs, setters, name="converge",
+                          tol=1e-30, max_iter=1000):
+        self.items.append(_Item(inputs, outputs, setters, name,
+                                kind="converge", tol=tol,
+                                max_iter=max_iter))
+
+    def compile(self):
+        for item in self.pre_items + self.items:
+            item.compile()
+
+    def pre_run(self):
+        for item in self.pre_items:
+            item.run()
+
+    def run(self):
+        out = None
+        for item in self.items:
+            out = item.run()
+        return out
+
+    def wait(self):
+        pass   # host-synchronous by construction
+
+    def copy_to_host(self, var: Variable):
+        return var.data
+
+    def copy_to_device(self, var: Variable, data):
+        var.set(np.asarray(data))
+
+    def check_value(self, index: int, expr: Expr):
+        return np.asarray(expr.evaluate())[index]
+
+
+def newton(work: Workflow, vars: Sequence[Variable], inputs, func: Expr,
+           tolerance=1e-30, max_iterations=1000, step=1.0):
+    """solver::newton (newton.hpp:34-51): register setters
+    x <- x - step*f/f'(x) and a converge item on f*f."""
+    setters = [(v - Constant(step) * func / func.df(v), v) for v in vars]
+    work.add_converge_item(inputs, [func * func], setters,
+                           name="loss_kernel", tol=tolerance,
+                           max_iter=max_iterations)

@@ -89,9 +89,10 @@ class ResultFile:
 
     @property
     def num_steps(self):
-        for ds in self._h.values():
-            return ds.shape[0]
-        return 0
+        # max over variables: freshly-appended variables (e.g. kamp before
+        # the absorption pass fills it) still have zero rows.
+        sizes = [ds.shape[0] for ds in self._h.values()]
+        return max(sizes) if sizes else 0
 
     def close(self):
         with self._lock:

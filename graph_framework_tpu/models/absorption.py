@@ -1,0 +1,174 @@
+"""Power absorption along traced rays: complex kamp update + binning.
+
+TPU-native counterpart of ``absorption::weak_damping/root_finder`` and the
+xrays ``bin_power`` phase (reference: graph_framework/absorption.hpp:111-487,
+graph_driver/xrays.cpp:598-793).  The reference re-opens the trace NetCDF,
+and for every saved timestep loads the 8 state arrays to the device, runs a
+complex-dtype kernel updating the wave amplitude kamp, and writes it back;
+power binning then accumulates Im(kamp) dl along each trajectory.
+
+Complex dtypes: the kamp physics is genuinely complex (hot-plasma Z
+function).  Native complex works on CPU; this TPU backend has no complex
+support, so ``jax.default_device``/platform selection decides where the
+absorption phase runs (it is file-bound post-processing in the reference
+too).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from graph_framework_tpu.models import dispersion as disp
+from graph_framework_tpu.models.rays import RayState
+from graph_framework_tpu.ops.newton import newton_solve
+from graph_framework_tpu.ops.special import z_erfi, z_plasma
+
+
+def make_weak_damping(eq, z_function=None):
+    """Analytic weak-damping kamp update (absorption.hpp:328-432):
+
+        kamp <- |k| - Dw / (khat . dDc/dk)
+
+    with Dc the cold-plasma expansion and Dw the hot-plasma expansion,
+    the k-gradient taken in covariant components mapped through the
+    contravariant basis (absorption.hpp:408-412).
+    Returns a jittable ``update(state) -> kamp`` over complex RayState.
+    """
+    # z_plasma = i sqrt(pi) w(zeta) is analytically the reference's z_erfi
+    # (dispersion.hpp:288-302) but avoids its exp(-z^2)*erfi 0*inf overflow
+    # at large zeta - the failure mode the reference papers over with
+    # SAFE_MATH NaN scrubbing (cuda_context.hpp:883-899).
+    zf = z_function or z_plasma
+    dw_fn = disp.make_hot_plasma_expansion(zf)
+
+    def kamp_one(t, w, x, y, z, kx, ky, kz):
+        pos = jnp.stack([x, y, z])
+        kcov = jnp.stack([kx, ky, kz])
+        esup = eq.esup(pos).astype(kcov.dtype)
+        kvec = kcov @ esup
+        klen = jnp.sqrt(jnp.sum(kvec * kvec))
+        k_unit = kvec / klen
+
+        def dc_of(kcov_):
+            kvec_ = kcov_ @ esup
+            return disp.cold_plasma_expansion(w, kvec_, pos, t, eq)
+
+        ddc_dkcov = jax.grad(dc_of, holomorphic=True)(kcov)
+        # dDc/dk as a physical vector: sum_i dDc/dk_i e^i
+        ddc_vec = ddc_dkcov @ esup
+        dw = dw_fn(w, kvec, pos, t, eq)
+        return klen - dw / jnp.sum(k_unit * ddc_vec)
+
+    vk = jax.vmap(kamp_one)
+
+    def update(state: RayState):
+        return vk(state.t, state.w, state.x, state.y, state.z,
+                  state.kx, state.ky, state.kz)
+
+    return update
+
+
+def make_root_finder(eq, z_function=None, *, tolerance=1.0e-30,
+                     max_iterations=1000):
+    """Newton root-find of the full hot-plasma D for the complex amplitude
+    correction (absorption.hpp:145-317):
+
+        kamp := 0;  solve D_hot(k + kamp * khat) = 0 for kamp;
+        kamp <- |k| + kamp.
+
+    Returns ``update(state) -> kamp``.
+    """
+    zf = z_function or z_plasma
+    d_hot = disp.make_hot_plasma(zf)
+
+    def update(state: RayState):
+        pos = jnp.stack([state.x, state.y, state.z], axis=-1)
+        kcov = jnp.stack([state.kx, state.ky, state.kz], axis=-1)
+        esup = jax.vmap(eq.esup)(pos).astype(kcov.dtype)
+        kvec = jnp.einsum("ri,rij->rj", kcov, esup)
+        klen = jnp.sqrt(jnp.sum(kvec * kvec, axis=-1))
+        k_unit = kvec / klen[..., None]
+
+        def f(kamp):
+            kshift = kvec + kamp[..., None] * k_unit
+            return jax.vmap(d_hot, in_axes=(0, 0, 0, 0, None))(
+                state.w, kshift, pos, state.t, eq)
+
+        kamp0 = jnp.zeros_like(state.w)
+        kamp, _, _ = newton_solve(
+            f, kamp0, tolerance=tolerance, max_iterations=max_iterations,
+            holomorphic=True)
+        return klen + kamp
+
+    return update
+
+
+def run_absorption(file, eq, method="weak_damping", *,
+                   dtype=jnp.complex128, writer=None,
+                   update_fn: Optional[Callable] = None,
+                   safe_math: bool = True):
+    """Drive a kamp update over every timestep of a trace result file
+    (the reference's per-time_index read/run/write loop,
+    absorption.hpp:465-483, xrays.cpp:551-585).
+
+    Appends a complex "kamp" variable to the file.
+    """
+    update = update_fn or (
+        make_weak_damping(eq) if method == "weak_damping"
+        else make_root_finder(eq))
+    update = jax.jit(update)
+
+    file.create_variable("kamp", complex_valued=True)
+    names = ["time", "w", "x", "y", "z", "kx", "ky", "kz"]
+    for i in range(file.num_steps):
+        row = file.read_step(i, names)
+        state = RayState(
+            t=jnp.asarray(row["time"], dtype=dtype),
+            w=jnp.asarray(row["w"], dtype=dtype),
+            x=jnp.asarray(row["x"], dtype=dtype),
+            y=jnp.asarray(row["y"], dtype=dtype),
+            z=jnp.asarray(row["z"], dtype=dtype),
+            kx=jnp.asarray(row["kx"], dtype=dtype),
+            ky=jnp.asarray(row["ky"], dtype=dtype),
+            kz=jnp.asarray(row["kz"], dtype=dtype))
+        kamp = update(state)
+        if safe_math:
+            # SAFE_MATH store scrubbing (cuda_context.hpp:883-899): the
+            # reference's complex phase replaces non-finite stores with 0.
+            kamp = jnp.where(jnp.isfinite(kamp.real)
+                             & jnp.isfinite(kamp.imag), kamp, 0.0)
+        target = writer or file
+        target.write_step(i, {"kamp": kamp})
+    if writer is not None:
+        writer.close()
+
+
+def bin_power(x, y, z, kamp_imag):
+    """Accumulate absorbed power along trajectories (xrays.cpp:673-793).
+
+    Inputs are (num_steps+1, num_rays) trajectory arrays; kamp_imag is
+    Im(kamp).  Returns (power, d_power) of the same shape:
+
+        dl_j    = |pos_j - pos_(j-1)|
+        kdl_j   = Im(kamp_j) dl_j
+        power_j = exp(-2 sum_(i<j) kdl_i)       (power_0 = power_1 = 1)
+        d_power_j = |power_j - power_(j-1)|
+
+    matching the reference's running k_sum kernel (p_next computed from the
+    pre-update k_sum, xrays.cpp:718-724).
+    """
+    pos = jnp.stack([x, y, z], axis=-1)
+    dl = jnp.linalg.norm(jnp.diff(pos, axis=0), axis=-1)   # (nt-1, nrays)
+    kdl = kamp_imag[1:] * dl
+    ksum_before = jnp.concatenate(
+        [jnp.zeros_like(kdl[:1]), jnp.cumsum(kdl, axis=0)[:-1]], axis=0)
+    power_tail = jnp.exp(-2.0 * ksum_before)
+    power = jnp.concatenate([jnp.ones_like(power_tail[:1]), power_tail],
+                            axis=0)
+    d_power = jnp.concatenate(
+        [jnp.zeros_like(power[:1]), jnp.abs(jnp.diff(power, axis=0))],
+        axis=0)
+    return power, d_power

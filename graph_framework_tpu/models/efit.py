@@ -120,18 +120,24 @@ class EfitEquilibrium(Equilibrium):
     def magnetic_field(self, pos):
         x, y, z = pos[0], pos[1], pos[2]
         r = jnp.sqrt(x * x + y * y)
+        cplx = jnp.iscomplexobj(pos)
 
         # dpsi/dz and dpsi/dr by autodiff of the spline (the reference
         # differentiates the spline graph symbolically at :1366,:1375).
-        psi_val, dpsi_dz = jax.value_and_grad(self.psi_rz, argnums=1)(r, z)
-        dpsi_dr = jax.grad(self.psi_rz, argnums=0)(r, z)
+        # The absorption phase evaluates the whole chain at complex state
+        # values (reference runs it in complex<double>); the spline is
+        # holomorphic in the coordinate.
+        psi_val, dpsi_dz = jax.value_and_grad(
+            self.psi_rz, argnums=1, holomorphic=cplx)(r, z)
+        dpsi_dr = jax.grad(self.psi_rz, argnums=0, holomorphic=cplx)(r, z)
 
         br = dpsi_dz / r
         bp = eval_cubic_1d(self.fpol_coeffs, psi_val, self.dpsi,
                            self.psimin, local=self.cell_local) / r
         bz = -dpsi_dr / r
 
-        phi = jnp.arctan2(y, x)
+        # complex scalars use atan(y/x), not atan2 (backend.hpp:1130-1150).
+        phi = jnp.arctan(y / x) if cplx else jnp.arctan2(y, x)
         c, s = jnp.cos(phi), jnp.sin(phi)
         return jnp.stack([br * c - bp * s, br * s + bp * c, bz])
 

@@ -1,0 +1,107 @@
+"""Absorption pipeline tests: kamp updates, file round-trip, power binning."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graph_framework_tpu.models import dispersion as disp
+from graph_framework_tpu.models.equilibrium import make_slab
+from graph_framework_tpu.models.absorption import (
+    make_weak_damping, make_root_finder, run_absorption, bin_power)
+from graph_framework_tpu.models.rays import RayState
+from graph_framework_tpu.solver import Solver, make_ray_state, init_k
+from graph_framework_tpu.io.output import ResultFile, state_row
+
+
+def _complex_state(n=4):
+    """A propagating X-mode-ish state in the slab field."""
+    st = make_ray_state(n, w=900.0, x=0.1, y=0.0, z=0.0,
+                        kx=400.0, ky=0.0, kz=700.0, dtype=jnp.complex128)
+    return st
+
+
+def test_weak_damping_finite():
+    eq = make_slab()
+    st = _complex_state()
+    kamp = make_weak_damping(eq)(st)
+    k = np.asarray(kamp)
+    assert k.shape == (4,)
+    assert np.isfinite(k.real).all() and np.isfinite(k.imag).all()
+    # kamp ~ |k| + small complex correction
+    klen = np.sqrt(400.0 ** 2 + 700.0 ** 2)
+    assert np.allclose(k.real, klen, rtol=0.2)
+
+
+def test_root_finder_converges_to_hot_root():
+    """After the Newton solve, D_hot(k + (kamp - |k|) khat) ~ 0."""
+    eq = make_slab()
+    st = _complex_state(2)
+    kamp = make_root_finder(eq, tolerance=1e-24)(st)
+    d_hot = disp.make_hot_plasma()
+    pos = jnp.stack([st.x, st.y, st.z], axis=-1)
+    kcov = jnp.stack([st.kx, st.ky, st.kz], axis=-1)
+    kvec = kcov  # slab is cartesian
+    klen = jnp.sqrt(jnp.sum(kvec * kvec, axis=-1))
+    khat = kvec / klen[..., None]
+    kshift = kvec + (kamp - klen)[..., None] * khat
+    d = jax.vmap(d_hot, in_axes=(0, 0, 0, 0, None))(
+        st.w, kshift, pos, st.t, eq)
+    assert float(jnp.max(jnp.abs(d))) < 1e-10
+
+
+def test_run_absorption_file_roundtrip(tmp_path):
+    """Trace -> write file -> absorption appends kamp -> read back
+    (the reference's 3-phase checkpoint-through-file flow,
+    xrays.cpp:1083-1111)."""
+    eq = make_slab()
+    st = make_ray_state(3, w=900.0, x=0.1, kx=400.0, kz=700.0)
+    st = init_k(st, disp.cold_plasma, eq, "kx", tolerance=1e-20)
+    sol = Solver(disp.cold_plasma, eq, method="rk4", dt=1e-4, sub_steps=2)
+
+    path = tmp_path / "result0.nc"
+    with ResultFile(path, num_rays=3) as f:
+        for name in ("time", "w", "x", "y", "z", "kx", "ky", "kz"):
+            f.create_variable(name)
+        sol.trace_streaming(st, 4, lambda i, s: f.write_step(
+            i, state_row(s)))
+        assert f.num_steps == 5
+
+    with ResultFile(path, mode="r+") as f:
+        run_absorption(f, eq, method="weak_damping")
+        kamp = f.read_step(2, ["kamp"], complex_valued=True)["kamp"]
+        assert kamp.shape == (3,)
+        assert np.isfinite(kamp).all()
+
+
+def test_bin_power_analytic():
+    """Straight ray with constant Im(kamp): power_j = exp(-2 K v dt (j-1))."""
+    nt, nr = 6, 2
+    t = np.arange(nt)[:, None] * 0.1
+    x = np.broadcast_to(t, (nt, nr)).copy()        # unit velocity in x
+    y = np.zeros((nt, nr))
+    z = np.zeros((nt, nr))
+    K = 0.7
+    kamp_im = np.full((nt, nr), K)
+    power, d_power = bin_power(jnp.asarray(x), jnp.asarray(y),
+                               jnp.asarray(z), jnp.asarray(kamp_im))
+    power = np.asarray(power)
+    expect = np.ones(nt)
+    for j in range(2, nt):
+        expect[j] = np.exp(-2 * K * 0.1 * (j - 1))
+    np.testing.assert_allclose(power[:, 0], expect, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(d_power)[2, 0],
+                               expect[1] - expect[2], rtol=1e-12)
+
+
+def test_bin_power_monotone_decay():
+    rng = np.random.default_rng(0)
+    nt, nr = 10, 5
+    x = np.cumsum(rng.uniform(0.01, 0.1, (nt, nr)), axis=0)
+    y = np.cumsum(rng.uniform(0.0, 0.05, (nt, nr)), axis=0)
+    z = np.zeros((nt, nr))
+    kamp_im = rng.uniform(0.0, 1.0, (nt, nr))
+    power, _ = bin_power(*map(jnp.asarray, (x, y, z, kamp_im)))
+    p = np.asarray(power)
+    assert (np.diff(p[1:], axis=0) <= 1e-15).all()
+    assert (p <= 1.0 + 1e-12).all()
