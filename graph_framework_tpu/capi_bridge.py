@@ -129,6 +129,17 @@ def piecewise_1d(ctx, arg, scale, offset, buf, size):
     return g.piecewise_1D(data, arg, scale, offset)
 
 
+def piecewise_2d(ctx, num_cols, x, x_scale, x_offset, y, y_scale,
+                 y_offset, buf, size):
+    data = np.frombuffer(buf, dtype=ctx.dtype, count=int(size))
+    return g.piecewise_2D(data, int(num_cols), x, x_scale, x_offset,
+                          y, y_scale, y_offset)
+
+
+def index_1d(ctx, var, arg, scale, offset):
+    return g.index_1D(var, arg, scale, offset)
+
+
 def df(ctx, a, b):
     return a.df(b)
 

@@ -452,6 +452,83 @@ class Piecewise1D(Expr):
         return "\\mathrm{table}\\left(%s\\right)" % self.arg.to_latex()
 
 
+class Piecewise2D(Expr):
+    """piecewise_2D table lookup (piecewise.hpp:686-...)."""
+
+    def __init__(self, data, num_cols, x, x_scale, x_offset,
+                 y, y_scale, y_offset):
+        super().__init__()
+        self.data = np.asarray(data).reshape(-1, num_cols)
+        self.x, self.y = as_expr(x), as_expr(y)
+        self.x_scale, self.x_offset = x_scale, x_offset
+        self.y_scale, self.y_offset = y_scale, y_offset
+
+    def children(self):
+        return (self.x, self.y)
+
+    def _set_children(self, c):
+        self.x, self.y = c
+
+    def emit_cached(self, rec, env):
+        from graph_framework_tpu.ops.tables import piecewise_2d
+        return piecewise_2d(jnp.asarray(self.data), rec(self.x),
+                            self.x_scale, self.x_offset, rec(self.y),
+                            self.y_scale, self.y_offset)
+
+    def df(self, var):
+        return Constant(1.0 if var is self else 0.0)
+
+    def to_latex(self):
+        return "\\mathrm{table2d}\\left(%s,%s\\right)" % (
+            self.x.to_latex(), self.y.to_latex())
+
+
+class Index1D(Expr):
+    """index_1D gather from a mutable variable (piecewise.hpp:1448-1755):
+    the PIC field gather - identical arithmetic to Piecewise1D but the
+    source is a workflow variable updated between runs."""
+
+    def __init__(self, var: "Variable", arg: Expr, scale, offset):
+        super().__init__()
+        self.var = var
+        self.arg = as_expr(arg)
+        self.scale, self.offset = scale, offset
+
+    def children(self):
+        return (self.var, self.arg)
+
+    def _set_children(self, c):
+        self.var, self.arg = c
+
+    def emit_cached(self, rec, env):
+        from graph_framework_tpu.ops.tables import index_1d
+        return index_1d(rec(self.var), rec(self.arg),
+                        self.scale, self.offset)
+
+    def df(self, var):
+        return Constant(1.0 if var is self else 0.0)
+
+    def to_latex(self):
+        return "%s\\left[%s\\right]" % (self.var.to_latex(),
+                                        self.arg.to_latex())
+
+
+def to_vizgraph(root: Expr) -> str:
+    """GraphViz DAG dump (node.hpp make_vizgraph, :700-717)."""
+    lines = ["digraph G {"]
+    for e in walk(root):
+        label = type(e).__name__
+        if isinstance(e, Variable):
+            label = f"var {e.name}"
+        elif isinstance(e, Constant):
+            label = f"{e.value}"
+        lines.append(f'  n{e.id} [label="{label}"];')
+        for c in e.children():
+            lines.append(f"  n{e.id} -> n{c.id};")
+    lines.append("}")
+    return "\n".join(lines)
+
+
 # factory helpers mirroring the graph:: namespace
 def variable(size, value=0.0, name="v"):
     return Variable(size, value, name)
@@ -472,6 +549,8 @@ fma = Fma
 erfi = Erfi
 random = Random
 piecewise_1D = Piecewise1D
+piecewise_2D = Piecewise2D
+index_1D = Index1D
 
 
 def one():

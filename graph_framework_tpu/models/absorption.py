@@ -106,6 +106,93 @@ def make_root_finder(eq, z_function=None, *, tolerance=1.0e-30,
     return update
 
 
+def make_weak_damping_split(eq):
+    """Complex-free weak-damping kamp update for TPU backends.
+
+    This TPU backend supports no complex dtypes at all, but for *real*
+    trajectory data (which is what the trace phase saves) the only complex
+    quantity in the weak-damping update is Z(zeta) with real zeta:
+    Dc and its k-gradient are real, and Dw factors as
+
+        Dw = R * (1/Z + zeta)        (hot_plasma_expansion,
+                                      dispersion.hpp:1208-1299)
+
+    with R and zeta real.  So kamp = |k| - Dw/(khat . dDc/dk) splits into
+    explicit (re, im) arithmetic around a real-argument Z
+    (ops.special.z_plasma_real).  Returns ``update(state) -> (re, im)``
+    over a real RayState.
+    """
+    from graph_framework_tpu.constants import (
+        Q, ME, C, plasma_frequency_squared, cyclotron_frequency)
+    from graph_framework_tpu.ops.special import z_plasma_real
+
+    def kamp_one(t, w, x, y, z, kx, ky, kz):
+        pos = jnp.stack([x, y, z])
+        kcov = jnp.stack([kx, ky, kz])
+        esup = eq.esup(pos)
+        kvec = kcov @ esup
+        klen = jnp.sqrt(jnp.sum(kvec * kvec))
+        k_unit = kvec / klen
+
+        # real cold-plasma-expansion k-gradient
+        def dc_of(kcov_):
+            kvec_ = kcov_ @ esup
+            return disp.cold_plasma_expansion(w, kvec_, pos, t, eq)
+
+        ddc_vec = jax.grad(dc_of)(kcov) @ esup
+        denom = jnp.sum(k_unit * ddc_vec)
+
+        # real pieces of Dw (transcription of make_hot_plasma_expansion
+        # with the complex Z factored out)
+        b = eq.magnetic_field(pos)
+        b_len = jnp.sqrt(jnp.sum(b * b))
+        bhat = b / b_len
+        ne = eq.electron_density(pos)
+        te = eq.electron_temperature(pos)
+        ve = jnp.sqrt(2.0 * Q * te / ME)
+        ec = cyclotron_frequency(Q, b_len, ME)
+        wpe2 = plasma_frequency_squared(ne, Q, ME)
+        P = wpe2 / (w * w)
+        q = P / (2.0 * (1.0 + ec / w))
+        n = kvec / w
+        n2 = jnp.sum(n * n)
+        npara = jnp.sum(bhat * n)
+        npara2 = npara * npara
+        nperp_vec = jnp.cross(bhat, n)
+        nperp2 = jnp.sum(nperp_vec * nperp_vec)
+        vt = ve / C
+        zeta = (1.0 - ec / w) / (npara * vt)
+
+        q_func = 1.0 - 2.0 * q
+        n_func = n2 + npara2
+        p_func = 1.0 - P
+        gamma5 = P * (n2 * npara2 - (1.0 - q) * n_func + q_func)
+        gamma2 = (P * w / ec * nperp2 * (n2 - q_func)
+                  + P * P * w * w / (4.0 * ec * ec)
+                  * (n_func - 2.0 * q_func) * nperp2 / npara2)
+        gamma1 = ((1.0 - q) * n2 * nperp2
+                  + p_func * (n2 * npara2 - (1.0 - q) * n_func)
+                  + q_func * (p_func - nperp2))
+        R = (-(1.0 + ec / w) * npara * vt
+             * (gamma1 + gamma2 + nperp2 / (2.0 * npara)
+                * (w * w / (ec * ec)) * vt * zeta * gamma5))
+
+        # Dw = R (1/Z + zeta): split 1/Z = conj(Z)/|Z|^2
+        z_re, z_im = z_plasma_real(zeta)
+        zabs2 = z_re * z_re + z_im * z_im
+        dw_re = R * (z_re / zabs2 + zeta)
+        dw_im = R * (-z_im / zabs2)
+        return klen - dw_re / denom, -dw_im / denom
+
+    vk = jax.vmap(kamp_one)
+
+    def update(state: RayState):
+        return vk(state.t, state.w, state.x, state.y, state.z,
+                  state.kx, state.ky, state.kz)
+
+    return update
+
+
 def run_absorption(file, eq, method="weak_damping", *,
                    dtype=jnp.complex128, writer=None,
                    update_fn: Optional[Callable] = None,

@@ -231,3 +231,40 @@ def z_power_series(zeta):
 def z_erfi(zeta):
     """Z function in the reference's erfi form (dispersion.hpp:288-302)."""
     return -_SQRT_PI * jnp.exp(-zeta * zeta) * (erfi(zeta) - 1j)
+
+
+def dawson_real(x, h=0.25, n_terms=33):
+    """Dawson integral for real x without complex arithmetic.
+
+    Rybicki's exponentially-convergent sampling method (G. Rybicki,
+    Computers in Physics 3 (1989) 85):
+
+        D(x) ~ (1/sqrt(pi)) sum_{n odd} exp(-(x - n h)^2) / n
+
+    with the sum taken over odd n centred on x/h; truncation error is
+    O(exp(-(pi/2h)^2)), ~1e-17 at h = 0.25 with ~33 terms.  Built from
+    exp/adds only, so it runs on TPU backends without complex support
+    (unlike dawson() above, which routes through w(z)).
+    """
+    x = jnp.asarray(x)
+    # nearest even multiple of h below x: sum over odd offsets around it
+    n0 = 2.0 * jnp.round(0.5 * x / h)
+    ks = jnp.arange(-(n_terms // 2), n_terms // 2 + 1, dtype=x.dtype)
+    n = n0[..., None] + 2.0 * ks + 1.0          # odd n grid
+    t = x[..., None] - n * h
+    # avoid 0-division when n == 0 (n is odd so n != 0 exactly)
+    contrib = jnp.exp(-t * t) / n
+    return jnp.sum(contrib, axis=-1) / _SQRT_PI
+
+
+def z_plasma_real(zeta):
+    """Plasma Z of a *real* argument as a (re, im) pair, complex-free.
+
+    Z(x) = i sqrt(pi) w(x) with w(x) = exp(-x^2) + 2i D(x)/sqrt(pi)
+    for real x, so Re Z = -2 D(x), Im Z = sqrt(pi) exp(-x^2).
+    This is the split-complex path for TPU backends without complex
+    dtypes (the absorption phase's zeta is real for real trajectories).
+    """
+    zeta = jnp.asarray(zeta)
+    return (-2.0 * dawson_real(zeta),
+            _SQRT_PI * jnp.exp(-zeta * zeta))

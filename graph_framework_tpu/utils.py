@@ -1,0 +1,100 @@
+"""Timing, profiling, and kernel-dump utilities.
+
+Counterparts of the reference's observability layer (SURVEY.md section 5):
+``timing::measure_diagnostic`` wall-clock blocks (timing.hpp:18-154),
+SAVE_KERNEL_SOURCE kernel dumps (jit.hpp:215-230), and the --verbose device
+info - rebuilt on jax.profiler / lowered-HLO text.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+import time
+from typing import Dict, List, Optional
+
+import jax
+
+
+class MeasureDiagnostic:
+    """Wall-clock phase timer (timing.hpp:18-64).
+
+    >>> t = MeasureDiagnostic("Setup Time")
+    ... work ...
+    >>> t.print()
+    """
+
+    def __init__(self, name: str):
+        self.name = name
+        self.start = time.perf_counter()
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.start
+
+    def print(self):
+        print(f"{self.name} : {self.elapsed():.6f}s")
+
+
+class MeasureDiagnosticThreaded:
+    """Per-thread phase timer with print/print_max (timing.hpp:67-154)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._lock = threading.Lock()
+        self._start: Dict[int, float] = {}
+        self._elapsed: Dict[int, float] = {}
+
+    def start_time(self, thread_number: int):
+        with self._lock:
+            self._start[thread_number] = time.perf_counter()
+
+    def end_time(self, thread_number: int):
+        with self._lock:
+            self._elapsed[thread_number] = (
+                time.perf_counter() - self._start[thread_number])
+
+    def print(self):
+        with self._lock:
+            for k in sorted(self._elapsed):
+                print(f"{self.name}[{k}] : {self._elapsed[k]:.6f}s")
+
+    def print_max(self):
+        with self._lock:
+            if self._elapsed:
+                print(f"{self.name} (max) : "
+                      f"{max(self._elapsed.values()):.6f}s")
+
+
+def save_kernel_source(fn, args, path, stage: str = "hlo"):
+    """Dump the compiled representation of a jitted function
+    (SAVE_KERNEL_SOURCE equivalent, jit.hpp:215-230).
+
+    ``stage``: "jaxpr" | "stablehlo" | "hlo" (optimized).
+    """
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+    if stage == "jaxpr":
+        text = str(jax.make_jaxpr(fn)(*args))
+    else:
+        lowered = jitted.lower(*args)
+        text = (lowered.as_text() if stage == "stablehlo"
+                else lowered.compile().as_text())
+    with open(path, "w") as f:
+        f.write(text)
+    return path
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """jax.profiler trace context (the --verbose occupancy dumps' modern
+    equivalent); view with TensorBoard or xprof."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_info() -> List[str]:
+    """--verbose device summary (cuda_context.hpp:225-241 analogue)."""
+    return [f"{d.device_kind} id={d.id} process={d.process_index}"
+            for d in jax.devices()]

@@ -105,3 +105,26 @@ def test_bin_power_monotone_decay():
     p = np.asarray(power)
     assert (np.diff(p[1:], axis=0) <= 1e-15).all()
     assert (p <= 1.0 + 1e-12).all()
+
+
+def test_split_complex_weak_damping_matches_native():
+    """The complex-free TPU path (real-argument Z via Rybicki Dawson) must
+    equal the native-complex weak damping, including nonzero Landau/
+    cyclotron damping near resonance."""
+    eq = make_slab()
+    st_r = make_ray_state(4, w=600.0, x=0.0, kx=50.0, ky=0.0, kz=500.0)
+    st_c = jax.tree.map(lambda a: a.astype(jnp.complex128), st_r)
+    from graph_framework_tpu.models.absorption import make_weak_damping_split
+    kc = np.asarray(make_weak_damping(eq)(st_c))
+    kr, ki = make_weak_damping_split(eq)(st_r)
+    got = np.asarray(kr) + 1j * np.asarray(ki)
+    assert abs(kc[0].imag) > 0.1      # actually damped here
+    np.testing.assert_allclose(got, kc, rtol=1e-12)
+
+
+def test_dawson_rybicki():
+    import scipy.special as sps
+    from graph_framework_tpu.ops.special import dawson_real
+    xs = np.linspace(-10, 10, 401)
+    np.testing.assert_allclose(np.asarray(dawson_real(jnp.asarray(xs))),
+                               sps.dawsn(xs), atol=1e-14)
