@@ -175,6 +175,39 @@ graph_node graph_piecewise_1D(struct graph_c_context *c, graph_node arg,
                               mem, (Py_ssize_t)source_size));
 }
 
+graph_node graph_piecewise_2D(struct graph_c_context *c,
+                              const size_t num_cols, graph_node x_arg,
+                              const double x_scale, const double x_offset,
+                              graph_node y_arg, const double y_scale,
+                              const double y_offset, const void *source,
+                              const size_t source_size) {
+    PyObject *mem = PyMemoryView_FromMemory(
+        (char *)source, source_size * element_size(c->type), PyBUF_READ);
+    return call("piecewise_2d",
+                Py_BuildValue("(OnOddOddNn)", ctx_py(c),
+                              (Py_ssize_t)num_cols, x_arg, x_scale,
+                              x_offset, y_arg, y_scale, y_offset, mem,
+                              (Py_ssize_t)source_size));
+}
+
+graph_node graph_index_1D(struct graph_c_context *c, graph_node variable,
+                          graph_node arg, const double scale,
+                          const double offset) {
+    return call("index_1d", Py_BuildValue("(OOOdd)", ctx_py(c), variable,
+                                          arg, scale, offset));
+}
+
+graph_node graph_index_2D(struct graph_c_context *c, graph_node variable,
+                          const size_t num_cols, graph_node x_arg,
+                          const double x_scale, const double x_offset,
+                          graph_node y_arg, const double y_scale,
+                          const double y_offset) {
+    return call("index_2d",
+                Py_BuildValue("(OOnOddOdd)", ctx_py(c), variable,
+                              (Py_ssize_t)num_cols, x_arg, x_scale,
+                              x_offset, y_arg, y_scale, y_offset));
+}
+
 graph_node graph_df(struct graph_c_context *c, graph_node num,
                     graph_node den) {
     return call("df", Py_BuildValue("(OOO)", ctx_py(c), num, den));

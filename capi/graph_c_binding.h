@@ -87,6 +87,20 @@ graph_node graph_random(STRUCT_TAG graph_c_context *c, graph_node state);
 graph_node graph_piecewise_1D(STRUCT_TAG graph_c_context *c, graph_node arg,
                               const double scale, const double offset,
                               const void *source, const size_t source_size);
+graph_node graph_piecewise_2D(STRUCT_TAG graph_c_context *c,
+                              const size_t num_cols, graph_node x_arg,
+                              const double x_scale, const double x_offset,
+                              graph_node y_arg, const double y_scale,
+                              const double y_offset, const void *source,
+                              const size_t source_size);
+graph_node graph_index_1D(STRUCT_TAG graph_c_context *c, graph_node variable,
+                          graph_node arg, const double scale,
+                          const double offset);
+graph_node graph_index_2D(STRUCT_TAG graph_c_context *c, graph_node variable,
+                          const size_t num_cols, graph_node x_arg,
+                          const double x_scale, const double x_offset,
+                          graph_node y_arg, const double y_scale,
+                          const double y_offset);
 
 /* autodiff */
 graph_node graph_df(STRUCT_TAG graph_c_context *c, graph_node num,

@@ -140,6 +140,12 @@ def index_1d(ctx, var, arg, scale, offset):
     return g.index_1D(var, arg, scale, offset)
 
 
+def index_2d(ctx, var, num_cols, x, x_scale, x_offset, y, y_scale,
+             y_offset):
+    return g.index_2D(var, int(num_cols), x, x_scale, x_offset,
+                      y, y_scale, y_offset)
+
+
 def df(ctx, a, b):
     return a.df(b)
 

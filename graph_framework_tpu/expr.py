@@ -513,6 +513,39 @@ class Index1D(Expr):
                                         self.arg.to_latex())
 
 
+class Index2D(Expr):
+    """index_2D gather from a mutable variable over a 2D grid
+    (the 2D analogue of Index1D; reference graph_c_binding.h index_2D)."""
+
+    def __init__(self, var: "Variable", num_cols, x, x_scale, x_offset,
+                 y, y_scale, y_offset):
+        super().__init__()
+        self.var = var
+        self.num_cols = int(num_cols)
+        self.x, self.y = as_expr(x), as_expr(y)
+        self.x_scale, self.x_offset = x_scale, x_offset
+        self.y_scale, self.y_offset = y_scale, y_offset
+
+    def children(self):
+        return (self.var, self.x, self.y)
+
+    def _set_children(self, c):
+        self.var, self.x, self.y = c
+
+    def emit_cached(self, rec, env):
+        from graph_framework_tpu.ops.tables import piecewise_2d
+        data = rec(self.var).reshape(-1, self.num_cols)
+        return piecewise_2d(data, rec(self.x), self.x_scale, self.x_offset,
+                            rec(self.y), self.y_scale, self.y_offset)
+
+    def df(self, var):
+        return Constant(1.0 if var is self else 0.0)
+
+    def to_latex(self):
+        return "%s\\left[%s,%s\\right]" % (
+            self.var.to_latex(), self.x.to_latex(), self.y.to_latex())
+
+
 def to_vizgraph(root: Expr) -> str:
     """GraphViz DAG dump (node.hpp make_vizgraph, :700-717)."""
     lines = ["digraph G {"]
@@ -551,6 +584,7 @@ random = Random
 piecewise_1D = Piecewise1D
 piecewise_2D = Piecewise2D
 index_1D = Index1D
+index_2D = Index2D
 
 
 def one():
