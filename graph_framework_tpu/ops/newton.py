@@ -49,33 +49,52 @@ def newton_solve(f: Callable,
       iterations >= max_iterations         (give up)
 
     Returns ``(x, converged, iterations)``.
+
+    Differentiability: the while loop itself is not reverse-differentiable,
+    so the solve is wrapped in ``lax.custom_root`` - gradients of the root
+    w.r.t. anything f closes over come from the implicit function theorem
+    (dx*/dtheta = -f_theta/f_x), one linear solve instead of unrolling the
+    iteration.  This is capability the reference does not have (its Newton
+    runs device-side with no derivative of the *solution*).
     """
     df = _elementwise_grad(f, holomorphic=holomorphic)
 
     def residual_max(x):
         return jnp.max(_abs2(f(x)).real)
 
-    def cond(state):
-        x, last, off_last, it = state
-        cur = residual_max(x)
-        keep = jnp.abs(cur) > tolerance
-        keep &= jnp.abs(last - cur) > tolerance
-        keep &= jnp.abs(off_last - cur) > tolerance
-        keep &= it < max_iterations
-        return keep
+    def iterate(f_inner, x_init):
+        df_inner = _elementwise_grad(f_inner, holomorphic=holomorphic)
 
-    def body(state):
-        x, last, off_last, it = state
-        cur = residual_max(x)
-        new_off = jnp.where(it % 2 == 0, cur, off_last)
-        fx = f(x)
-        dfx = df(x)
-        x_new = x - step * fx / dfx
-        return x_new, cur, new_off, it + 1
+        def cond(state):
+            x, last, off_last, it = state
+            cur = jnp.max(_abs2(f_inner(x)).real)
+            keep = jnp.abs(cur) > tolerance
+            keep &= jnp.abs(last - cur) > tolerance
+            keep &= jnp.abs(off_last - cur) > tolerance
+            keep &= it < max_iterations
+            return keep
 
-    big = jnp.asarray(jnp.finfo(jnp.result_type(x0.real)).max)
-    x, last, _, it = jax.lax.while_loop(
-        cond, body, (x0, big, big, jnp.asarray(0, dtype=jnp.int32)))
+        def body(state):
+            x, last, off_last, it = state
+            cur = jnp.max(_abs2(f_inner(x)).real)
+            new_off = jnp.where(it % 2 == 0, cur, off_last)
+            x_new = x - step * f_inner(x) / df_inner(x)
+            return x_new, cur, new_off, it + 1
+
+        big = jnp.asarray(jnp.finfo(jnp.result_type(x_init.real)).max)
+        x, _, _, it = jax.lax.while_loop(
+            cond, body, (x_init, big, big, jnp.asarray(0, dtype=jnp.int32)))
+        return x
+
+    def tangent_solve(g, y):
+        # g is linear (the pushforward of f at the root); elementwise
+        # per-ray: solve g(x) = y  ->  x = y / g'(0).
+        slope = _elementwise_grad(g, holomorphic=holomorphic)(
+            jnp.zeros_like(y))
+        return y / slope
+
+    x = jax.lax.custom_root(f, x0, iterate, tangent_solve)
+    it = jnp.asarray(0, dtype=jnp.int32)   # iteration count not exposed
     return x, residual_max(x) <= tolerance, it
 
 

@@ -101,9 +101,13 @@ class Solver:
 
         @jax.jit
         def step(state: RayState) -> RayState:
-            def body(_, s):
-                return stepper(rhs, s, dt)
-            return jax.lax.fori_loop(0, sub, body, state)
+            # scan (not fori_loop) so whole traces stay reverse-mode
+            # differentiable - gradients of endpoints/absorbed power w.r.t.
+            # launch parameters flow through every sub-step.
+            def body(s, _):
+                return stepper(rhs, s, dt), None
+            out, _ = jax.lax.scan(body, state, None, length=sub)
+            return out
 
         return step
 
