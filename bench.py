@@ -60,15 +60,15 @@ def main():
     jax.block_until_ready(state)
     t_init = time.perf_counter() - t0
 
-    step = sol.step_fn()
+    # whole benchmark loop as one on-device scan (the reference's bench
+    # likewise runs its step loop with no output file)
     t0 = time.perf_counter()
-    state = step(state)       # compile + first step
+    state = sol.run(state, 1)          # compile + one step
     jax.block_until_ready(state)
     t_compile = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for _ in range(NUM_STEPS - 1):
-        state = step(state)
+    state = sol.run(state, NUM_STEPS - 1)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
 

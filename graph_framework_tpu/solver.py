@@ -116,6 +116,22 @@ class Solver:
         solver.hpp:331)."""
         return jax.jit(residual_fn(self.dispersion, self.eq))
 
+    def run(self, state: RayState, num_steps: int) -> RayState:
+        """Advance num_steps recorded steps entirely on device (one scan,
+        no trajectory storage, no host dispatch per step) - the
+        configuration of the reference's benchmark loop, which writes no
+        output (xrays_bench.cpp:97-101 with filename="")."""
+        step = self.step_fn()
+
+        @jax.jit
+        def go(s):
+            def body(s, _):
+                return step(s), None
+            out, _ = jax.lax.scan(body, s, None, length=num_steps)
+            return out
+
+        return go(state)
+
     # -- whole-trace scan (device-resident trajectory) ---------------------
     def trace(self, state: RayState, num_steps: int):
         """Run num_steps recorded steps; returns (final_state, trajectory)
