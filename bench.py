@@ -60,15 +60,19 @@ def main():
     jax.block_until_ready(state)
     t_init = time.perf_counter() - t0
 
-    # whole benchmark loop as one on-device scan (the reference's bench
-    # likewise runs its step loop with no output file)
+    # host loop dispatching the jitted 10-substep kernel: measured faster
+    # than a scan-fused outer loop on this backend (1.81M vs 1.31M
+    # ray-steps/s - the scan adds per-iteration carry copies), and async
+    # dispatch keeps the device saturated.
+    step = sol.step_fn()
     t0 = time.perf_counter()
-    state = sol.run(state, 1)          # compile + one step
+    state = step(state)       # compile + first step
     jax.block_until_ready(state)
     t_compile = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    state = sol.run(state, NUM_STEPS - 1)
+    for _ in range(NUM_STEPS - 1):
+        state = step(state)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
 

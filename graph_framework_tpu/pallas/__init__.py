@@ -1,0 +1,18 @@
+"""Pallas TPU kernels.
+
+Status of the Pallas investigation for this framework (measured on the
+v5e backend, see commit history):
+
+* The ray-tracing hot loop is dominated by spline-coefficient gathers.
+  Mosaic lowers only same-shape shuffle gathers, so a VMEM-table
+  ``jnp.take`` inside a kernel fails to lower; the workable in-kernel
+  alternative (one-hot matmul on the MXU) measures within ~25% of XLA's
+  native gather (2.5 ms vs 3.1 ms per 1e5 bicubic evals), which does not
+  justify a hand-written kernel for the spline path.
+* Elementwise physics (Boris rotation, split-complex weak damping) is
+  already fully fused by XLA.
+* The PIC deposit is a genuine block-reduction workload and ships here as
+  a Pallas kernel (``deposit``) with double-buffered particle streaming.
+"""
+
+from graph_framework_tpu.pallas.deposit import deposit_pallas  # noqa: F401
