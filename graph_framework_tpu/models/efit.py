@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from graph_framework_tpu.models.equilibrium import Equilibrium
-from graph_framework_tpu.ops.spline import eval_cubic_1d, eval_bicubic_2d
+from graph_framework_tpu.ops.spline import (
+    eval_cubic_1d, eval_bicubic_2d, eval_bicubic_jet)
 from graph_framework_tpu.ops.newton import newton_solve_multi
 
 
@@ -122,14 +123,15 @@ class EfitEquilibrium(Equilibrium):
         r = jnp.sqrt(x * x + y * y)
         cplx = jnp.iscomplexobj(pos)
 
-        # dpsi/dz and dpsi/dr by autodiff of the spline (the reference
+        # dpsi/dz and dpsi/dr from the analytic spline jet (the reference
         # differentiates the spline graph symbolically at :1366,:1375).
-        # The absorption phase evaluates the whole chain at complex state
-        # values (reference runs it in complex<double>); the spline is
-        # holomorphic in the coordinate.
-        psi_val, dpsi_dz = jax.value_and_grad(
-            self.psi_rz, argnums=1, holomorphic=cplx)(r, z)
-        dpsi_dr = jax.grad(self.psi_rz, argnums=0, holomorphic=cplx)(r, z)
+        # The jet shares one coefficient gather between value and
+        # derivatives and keeps the outer ray-equation gradient from
+        # differentiating through a nested grad transpose; it is exact for
+        # complex coordinates too (polynomials in the coordinate).
+        psi_val, dpsi_dr, dpsi_dz = eval_bicubic_jet(
+            self.psi_coeffs, r, self.dr, self.rmin, z, self.dz, self.zmin,
+            local=self.cell_local)
 
         br = dpsi_dz / r
         bp = eval_cubic_1d(self.fpol_coeffs, psi_val, self.dpsi,

@@ -114,10 +114,51 @@ def eval_bicubic_2d(coeffs, x, x_scale, x_offset, y, y_scale, y_offset,
     if local:
         u = u - i.astype(u.dtype)
         v = v - j.astype(v.dtype)
-    block = coeffs[:, :, i, j]                      # (4, 4) [+ batch dims]
+    return _bicubic_from_block(coeffs[:, :, i, j], u, v)
+
+
+def _bicubic_from_block(block, u, v):
+    """Evaluate sum_ab block[a, b] u^a v^b for a gathered (4, 4[, ...])
+    coefficient block."""
     # cubic in v for each power of u: c_a = sum_b block[a, b] * v^b
     vpow = jnp.stack([jnp.ones_like(v), v, v * v, v * v * v])
     ca = jnp.tensordot(block, vpow, axes=[[1], [0]]) if block.ndim == 2 \
         else jnp.einsum("ab...,b...->a...", block, vpow)
     # cubic in u: ((c3*u + c2)*u + c1)*u + c0
     return ca[0] + u * (ca[1] + u * (ca[2] + u * ca[3]))
+
+
+def eval_bicubic_jet(coeffs, x, x_scale, x_offset, y, y_scale, y_offset,
+                     local=False):
+    """Bicubic value and first derivatives from ONE coefficient gather.
+
+    Returns (value, d/dx, d/dy).  The derivative polynomials are evaluated
+    analytically from the same gathered (4, 4) block, so callers needing
+    the spline gradient (the B field, equilibrium.hpp:1364-1382) avoid a
+    nested jax.grad whose transpose the outer ray-equation gradient would
+    then have to differentiate through.  The jet itself is built from
+    gathers + polynomials only, so higher derivatives via plain autodiff
+    remain exact and cheap.
+    """
+    _, _, num_rows, num_cols = coeffs.shape
+    u = (x - x_offset) / x_scale
+    v = (y - y_offset) / y_scale
+    i = table_index_1d(x, x_scale, x_offset, num_rows)
+    j = table_index_1d(y, y_scale, y_offset, num_cols)
+    if local:
+        u = u - i.astype(u.dtype)
+        v = v - j.astype(v.dtype)
+    block = coeffs[:, :, i, j]                    # (4, 4[, ...])
+    one = jnp.ones_like(v)
+    vpow = jnp.stack([one, v, v * v, v * v * v])        # v^b
+    dvpow = jnp.stack([jnp.zeros_like(v), one, 2.0 * v, 3.0 * v * v])
+    if block.ndim == 2:
+        ca = block @ vpow                          # sum_b block[a,b] v^b
+        cb = block @ dvpow                         # sum_b b block[a,b] v^(b-1)
+    else:
+        ca = jnp.einsum("ab...,b...->a...", block, vpow)
+        cb = jnp.einsum("ab...,b...->a...", block, dvpow)
+    val = ca[0] + u * (ca[1] + u * (ca[2] + u * ca[3]))
+    dval_du = ca[1] + u * (2.0 * ca[2] + 3.0 * u * ca[3])
+    dval_dv = cb[0] + u * (cb[1] + u * (cb[2] + u * cb[3]))
+    return val, dval_du / x_scale, dval_dv / y_scale
