@@ -27,7 +27,7 @@ import numpy as np
 
 from graph_framework_tpu.models.equilibrium import Equilibrium
 from graph_framework_tpu.ops.spline import (
-    eval_cubic_1d, eval_bicubic_2d, eval_bicubic_jet)
+    eval_cubic_1d, eval_cubic_multi, eval_bicubic_2d, eval_bicubic_jet)
 from graph_framework_tpu.ops.newton import newton_solve_multi
 
 
@@ -82,6 +82,22 @@ class EfitEquilibrium(Equilibrium):
         r = jnp.sqrt(pos[0] * pos[0] + pos[1] * pos[1])
         return self.psi_rz(r, pos[2])
 
+    @property
+    def _profile_stack(self):
+        """(4, 4, numpsi) stack of [ne, te, pres, fpol] coefficient tables;
+        they share the psi argument so one gather serves all four
+        (eval_cubic_multi)."""
+        return jnp.stack([self.ne_coeffs, self.te_coeffs,
+                          self.pres_coeffs, self.fpol_coeffs])
+
+    def profiles(self, psi_val):
+        """(ne, te, pressure, fpol) at a psi value with one fused gather."""
+        vals = eval_cubic_multi(self._profile_stack, psi_val,
+                                self.dpsi, self.psimin,
+                                local=self.cell_local)
+        return (self.ne_scale * vals[0], self.te_scale * vals[1],
+                self.pres_scale * vals[2], vals[3])
+
     # -- profiles (cubic splines of psi; equilibrium.hpp:1338-1362) --------
     def electron_density(self, pos):
         return self.ne_scale * eval_cubic_1d(
@@ -110,12 +126,12 @@ class EfitEquilibrium(Equilibrium):
     def ion_temperature(self, index, pos):
         # ti = (pressure - ne te q) / (ni q) with q = 1.60218e-19
         # (note: the reference uses this rounded q here, not the exact
-        # elementary charge; equilibrium.hpp:1358-1362).
+        # elementary charge; equilibrium.hpp:1358-1362).  ni = te quirk
+        # as in ion_density.
         q = 1.60218e-19
-        ne = self.electron_density(pos)
-        te = self.electron_temperature(pos)
-        ni = self.ion_density(index, pos)
-        return (self.pressure(pos) - ne * te * q) / (ni * q)
+        ne, te, pres, _ = self.profiles(self.psi(pos))
+        ni = te
+        return (pres - ne * te * q) / (ni * q)
 
     # -- magnetic field (equilibrium.hpp:1364-1382) ------------------------
     def magnetic_field(self, pos):
@@ -138,9 +154,12 @@ class EfitEquilibrium(Equilibrium):
                            self.psimin, local=self.cell_local) / r
         bz = -dpsi_dr / r
 
-        # complex scalars use atan(y/x), not atan2 (backend.hpp:1130-1150).
-        phi = jnp.arctan(y / x) if cplx else jnp.arctan2(y, x)
-        c, s = jnp.cos(phi), jnp.sin(phi)
+        # cos(atan2(y, x)) = x/r, sin(atan2(y, x)) = y/r: three
+        # transcendentals replaced by exact algebraic identities.  For
+        # complex coordinates this is the analytic continuation; the
+        # reference's complex convention atan(y/x) (backend.hpp:1130-1150)
+        # branch-flips the rotation for Re(x) < 0, which x/r avoids.
+        c, s = x / r, y / r
         return jnp.stack([br * c - bp * s, br * s + bp * c, bz])
 
     def characteristic_field(self):

@@ -128,6 +128,24 @@ def _bicubic_from_block(block, u, v):
     return ca[0] + u * (ca[1] + u * (ca[2] + u * ca[3]))
 
 
+def eval_cubic_multi(coeffs, x, scale, offset, local=False):
+    """Evaluate several cubic splines sharing one argument and index.
+
+    ``coeffs``: (num_profiles, 4, n).  One gather fetches the
+    (num_profiles, 4) coefficient block per point - the EFIT profile
+    splines (ne, te, pressure, fpol) all key on the same psi, so fusing
+    them quarters the gather count of the hot loop.
+    Returns an array of shape (num_profiles[, ...batch]).
+    """
+    u = (x - offset) / scale
+    idx = table_index_1d(x, scale, offset, coeffs.shape[2])
+    if local:
+        u = u - idx.astype(u.dtype)
+    block = coeffs[:, :, idx]                     # (P, 4[, ...])
+    return (block[:, 0] + u * (block[:, 1]
+            + u * (block[:, 2] + u * block[:, 3])))
+
+
 def eval_bicubic_jet(coeffs, x, x_scale, x_offset, y, y_scale, y_offset,
                      local=False):
     """Bicubic value and first derivatives from ONE coefficient gather.
