@@ -117,7 +117,7 @@ def test_pallas_deposit_matches_reference():
         num_grid = 64
         scale = 2.0 / (num_grid - 1)
         grid = -1.0 + scale * jnp.arange(num_grid, dtype=jnp.float64)
-        n, e = dep.deposit_pallas(x, mask, grid, block=2048)
+        n, e = dep.deposit_pallas(x, mask, grid, block=2048, tile=64)
     finally:
         pl.pallas_call = orig
     dxm = np.asarray(x)[None, :] - np.asarray(grid)[:, None]
