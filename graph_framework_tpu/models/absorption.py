@@ -193,6 +193,105 @@ def make_weak_damping_split(eq):
     return update
 
 
+def hot_plasma_split(w, kvec_c, pos, t, eq):
+    """Hot-plasma D (dispersion.hpp:1099-1199) in split-complex form.
+
+    ``w``, ``pos``, ``t`` real per-ray scalars; ``kvec_c`` a Cplx 3-vector
+    (tuple of 3 Cplx) - complex through the kamp shift along khat.
+    Transcription of make_hot_plasma with Cplx arithmetic so it runs on
+    TPU backends without complex dtypes.
+    """
+    from graph_framework_tpu.constants import (
+        Q, ME, C, plasma_frequency_squared, cyclotron_frequency)
+    from graph_framework_tpu.ops.cplx import Cplx, z_plasma_split
+
+    b = eq.magnetic_field(pos)
+    b_len = jnp.sqrt(jnp.sum(b * b))
+    bhat = b / b_len
+    ne = eq.electron_density(pos)
+    te = eq.electron_temperature(pos)
+    ve = jnp.sqrt(2.0 * Q * te / ME) / C
+    ec = cyclotron_frequency(Q, b_len, ME)
+    wpe2 = plasma_frequency_squared(ne, Q, ME)
+
+    P = wpe2 / (w * w)
+    q = P / (2.0 * (1.0 + ec / w))
+
+    n = tuple(k / w for k in kvec_c)                     # Cplx 3-vector
+    n2 = n[0] * n[0] + n[1] * n[1] + n[2] * n[2]
+    npara = n[0] * bhat[0] + n[1] * bhat[1] + n[2] * bhat[2]
+    npara2 = npara * npara
+    # nperp^2 = n.n - npara^2 (identity |bhat x n|^2 for unit bhat)
+    nperp2 = n2 - npara2
+
+    zeta = Cplx.of(1.0 - ec / w) / (npara * ve)
+    Zf = z_plasma_split(zeta)
+    zeta_func = zeta * Zf + 1.0
+    F = zeta * (ve * w / (2.0 * ec)) / npara
+    isigma = Zf * (P / (2.0 * ve)) / npara
+
+    q_func = 1.0 - 2.0 * q
+    p_func = 1.0 - P
+    n_func = n2 + npara2
+
+    gamma5 = n2 * npara2 - n_func * (1.0 - q) + q_func
+    gamma2 = (n2 - q_func) + (n_func - 2.0 * q_func) \
+        * (P * w / (4.0 * ec)) / npara2
+    gamma1 = nperp2 * (n2 * (1.0 - q) - q_func) \
+        + (n2 * npara2 - n_func * (1.0 - q) + q_func) * p_func
+    gamma0 = nperp2 * (n2 - 2.0 * q_func) + (q_func * 2.0 - n_func) * p_func
+
+    return (isigma * gamma0 + gamma1
+            + nperp2 * zeta_func * (gamma2 + gamma5 * F) * (P * w / ec))
+
+
+def make_root_finder_split(eq, *, tolerance=1.0e-12, max_iterations=200):
+    """Complex-free Newton root finder for kamp (the TPU counterpart of
+    make_root_finder): solve D_hot(k + kamp khat) = 0 for complex kamp
+    carried as (re, im), Newton-updating with the holomorphic derivative
+    obtained from one jvp (Cauchy-Riemann: tangent (1, 0) on (re, im)
+    yields (Re D', Im D')).
+
+    Returns ``update(state) -> (kamp_re, kamp_im)`` over a real RayState.
+    """
+    from graph_framework_tpu.ops.cplx import Cplx
+
+    def update(state: RayState):
+        pos = jnp.stack([state.x, state.y, state.z], axis=-1)
+        kcov = jnp.stack([state.kx, state.ky, state.kz], axis=-1)
+        esup = jax.vmap(eq.esup)(pos)
+        kvec = jnp.einsum("ri,rij->rj", kcov, esup)
+        klen = jnp.sqrt(jnp.sum(kvec * kvec, axis=-1))
+        khat = kvec / klen[..., None]
+
+        def d_split(a_re, a_im):
+            """D_hot with the shift kamp = a_re + i a_im, per ray."""
+            def one(are, aim, kv, kh, p, w, t):
+                kc = tuple(
+                    Cplx(kv[i] + are * kh[i], aim * kh[i]) for i in range(3))
+                d = hot_plasma_split(w, kc, p, t, eq)
+                return d.re, d.im
+            return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0))(
+                a_re, a_im, kvec, khat, pos, state.w, state.t)
+
+        def body(carry, _):
+            a_re, a_im = carry
+            (f_re, f_im), (df_re, df_im) = jax.jvp(
+                d_split, (a_re, a_im), (jnp.ones_like(a_re),
+                                        jnp.zeros_like(a_im)))
+            f = Cplx(f_re, f_im)
+            df = Cplx(df_re, df_im)
+            step = f / df
+            return (a_re - step.re, a_im - step.im), None
+
+        a0 = jnp.zeros_like(state.w)
+        (a_re, a_im), _ = jax.lax.scan(
+            body, (a0, a0), None, length=max_iterations)
+        return klen + a_re, a_im
+
+    return update
+
+
 def run_absorption(file, eq, method="weak_damping", *,
                    dtype=jnp.complex128, writer=None,
                    update_fn: Optional[Callable] = None,

@@ -128,3 +128,28 @@ def test_dawson_rybicki():
     xs = np.linspace(-10, 10, 401)
     np.testing.assert_allclose(np.asarray(dawson_real(jnp.asarray(xs))),
                                sps.dawsn(xs), atol=1e-14)
+
+
+def test_split_root_finder_matches_native():
+    """The complex-free hot-plasma Newton root finder (Cplx arithmetic +
+    Cauchy-Riemann jvp derivative) equals the native-complex path."""
+    from graph_framework_tpu.models.absorption import make_root_finder_split
+    eq = make_slab()
+    st_r = make_ray_state(3, w=600.0, x=0.1, kx=50.0, ky=0.0, kz=500.0)
+    st_c = jax.tree.map(lambda a: a.astype(jnp.complex128), st_r)
+    native = np.asarray(make_root_finder(eq, tolerance=1e-24)(st_c))
+    kr, ki = make_root_finder_split(eq, max_iterations=60)(st_r)
+    got = np.asarray(kr) + 1j * np.asarray(ki)
+    assert abs(native[0].imag) > 0.1
+    np.testing.assert_allclose(got, native, rtol=1e-12)
+
+
+def test_wofz_split_matches_scipy():
+    import scipy.special as sps
+    from graph_framework_tpu.ops.cplx import Cplx, wofz_split
+    rng = np.random.default_rng(1)
+    z = rng.uniform(-8, 8, 200) + 1j * rng.uniform(-5, 5, 200)
+    w = wofz_split(Cplx(jnp.asarray(z.real), jnp.asarray(z.imag)))
+    got = np.asarray(w.re) + 1j * np.asarray(w.im)
+    err = np.abs(got - sps.wofz(z)) / np.abs(sps.wofz(z))
+    assert err.max() < 1e-12
