@@ -60,12 +60,11 @@ def bohm_gross(w, kvec, pos, t, eq):
     """Warm electron plasma wave (dispersion.hpp:511-567):
     D = wpe^2 + 3/2 k_par^2 vth^2 - w^2, with k parallel to B when a field
     is present, vth^2 = 2 q te / (me c^2)."""
-    ne = eq.electron_density(pos)
-    wpe2 = plasma_frequency_squared(ne, Q, ME)
-    te = eq.electron_temperature(pos)
-    vterm2 = 2.0 * Q * te / (ME * _C2)
+    pq = eq.plasma_quantities(pos)
+    wpe2 = plasma_frequency_squared(pq.ne, Q, ME)
+    vterm2 = 2.0 * Q * pq.te / (ME * _C2)
 
-    b = eq.magnetic_field(pos)
+    b = pq.b
     b2 = jnp.sum(b * b)
     kpar2 = jnp.where(
         b2 == 0.0,
@@ -77,7 +76,7 @@ def bohm_gross(w, kvec, pos, t, eq):
 def light_wave(w, kvec, pos, t, eq):
     """Electromagnetic wave in unmagnetized plasma (dispersion.hpp:574-619):
     D = wpe^2 + |k|^2 - w^2."""
-    ne = eq.electron_density(pos)
+    ne = eq.plasma_quantities(pos).ne
     wpe2 = plasma_frequency_squared(ne, Q, ME)
     return wpe2 + jnp.sum(kvec * kvec) - w * w
 
@@ -86,10 +85,9 @@ def acoustic_wave(w, kvec, pos, t, eq):
     """Ion acoustic wave (dispersion.hpp:626-676):
     D = k_par^2 vs^2 - w^2, vs^2 = (q te + 3 q ti)/(mi c^2)."""
     mi = eq.ion_masses[0]
-    te = eq.electron_temperature(pos)
-    ti = eq.ion_temperature(0, pos)
-    vs2 = (Q * te + 3.0 * Q * ti) / (mi * _C2)
-    b = eq.magnetic_field(pos)
+    pq = eq.plasma_quantities(pos)
+    vs2 = (Q * pq.te + 3.0 * Q * pq.ti[0]) / (mi * _C2)
+    b = pq.b
     b2 = jnp.sum(b * b)
     kpar2 = jnp.where(
         b2 == 0.0,
@@ -111,10 +109,9 @@ def ion_cyclotron(w, kvec, pos, t, eq):
     D = wce - kperp^2 vs^2 - w^2 (as written in the reference, including
     the first-power wce term)."""
     mi = eq.ion_masses[0]
-    te = eq.electron_temperature(pos)
-    ti = eq.ion_temperature(0, pos)
-    vs2 = (Q * te + 3.0 * Q * ti) / (mi * _C2)
-    b = eq.magnetic_field(pos)
+    pq = eq.plasma_quantities(pos)
+    vs2 = (Q * pq.te + 3.0 * Q * pq.ti[0]) / (mi * _C2)
+    b = pq.b
     wce = cyclotron_frequency(-Q, _norm(b), ME)
     bhat = _bhat_or_zero(b)
     kperp_vec = jnp.cross(bhat, kvec)
@@ -124,10 +121,10 @@ def ion_cyclotron(w, kvec, pos, t, eq):
 
 def ordinary_wave(w, kvec, pos, t, eq):
     """O mode (dispersion.hpp:784-829): D = 1 - wpe^2/w^2 - nperp^2."""
-    ne = eq.electron_density(pos)
-    wpe2 = plasma_frequency_squared(ne, Q, ME)
+    pq = eq.plasma_quantities(pos)
+    wpe2 = plasma_frequency_squared(pq.ne, Q, ME)
     n = kvec / w
-    bhat = _bhat_or_zero(eq.magnetic_field(pos))
+    bhat = _bhat_or_zero(pq.b)
     nperp = jnp.cross(bhat, n)
     return 1.0 - wpe2 / (w * w) - jnp.sum(nperp * nperp)
 
@@ -136,9 +133,9 @@ def extra_ordinary_wave(w, kvec, pos, t, eq):
     """X mode (dispersion.hpp:837-895):
     D = 1 - wpe^2/w^2 (w^2 - wpe^2)/(w^2 - wh^2) - nperp^2 with
     wh^2 = wpe^2 + wce^2."""
-    ne = eq.electron_density(pos)
-    wpe2 = plasma_frequency_squared(ne, Q, ME)
-    b = eq.magnetic_field(pos)
+    pq = eq.plasma_quantities(pos)
+    wpe2 = plasma_frequency_squared(pq.ne, Q, ME)
+    b = pq.b
     wce = cyclotron_frequency(-Q, _norm(b), ME)
     n = kvec / w
     bhat = _bhat_or_zero(b)
@@ -153,9 +150,9 @@ def cold_plasma(w, kvec, pos, t, eq):
     """Multi-species cold-plasma determinant (dispersion.hpp:903-1009):
     D = det(eps + n n - n.n I) written out with Onsager symmetry; electrons
     plus every ion species contribute to eps11/eps12/eps33."""
-    ne = eq.electron_density(pos)
-    wpe2 = plasma_frequency_squared(ne, Q, ME)
-    b = eq.magnetic_field(pos)
+    pq = eq.plasma_quantities(pos)
+    wpe2 = plasma_frequency_squared(pq.ne, Q, ME)
+    b = pq.b
     b_len = _norm(b)
     ec = cyclotron_frequency(-Q, b_len, ME)
 
@@ -168,8 +165,7 @@ def cold_plasma(w, kvec, pos, t, eq):
     for i in range(eq.num_ion_species):
         mi = eq.ion_masses[i]
         charge = float(eq.ion_charges[i]) * Q
-        ni = eq.ion_density(i, pos)
-        wpi2 = plasma_frequency_squared(ni, charge, mi)
+        wpi2 = plasma_frequency_squared(pq.ni[i], charge, mi)
         ic = cyclotron_frequency(charge, b_len, mi)
         denomi = 1.0 - ic * ic / w2
         e11 = e11 - (wpi2 / w2) / denomi
@@ -198,13 +194,13 @@ def cold_plasma(w, kvec, pos, t, eq):
 def cold_plasma_expansion(w, kvec, pos, t, eq):
     """Electron cold-plasma expansion Dc (dispersion.hpp:1017-1092):
     Dc = -P/2 (1 + ec/w) Gamma0 + (1 - ec^2/w^2) Gamma1."""
-    b = eq.magnetic_field(pos)
+    pq = eq.plasma_quantities(pos)
+    b = pq.b
     b_len = _norm(b)
     bhat = b / b_len
-    ne = eq.electron_density(pos)
 
     ec = cyclotron_frequency(Q, b_len, ME)
-    wpe2 = plasma_frequency_squared(ne, Q, ME)
+    wpe2 = plasma_frequency_squared(pq.ne, Q, ME)
 
     P = wpe2 / (w * w)
     q = P / (2.0 * (1.0 + ec / w))
@@ -238,11 +234,11 @@ def make_hot_plasma(z_function: Callable = z_plasma):
     (z_plasma == the reference's z_erfi analytically)."""
 
     def hot_plasma(w, kvec, pos, t, eq):
-        b = eq.magnetic_field(pos)
+        pq = eq.plasma_quantities(pos)
+        b = pq.b
         b_len = _norm(b)
         bhat = b / b_len
-        ne = eq.electron_density(pos)
-        te = eq.electron_temperature(pos)
+        ne, te = pq.ne, pq.te
 
         ve = jnp.sqrt(2.0 * Q * te / ME) / _C
         ec = cyclotron_frequency(Q, b_len, ME)
@@ -288,11 +284,11 @@ def make_hot_plasma_expansion(z_function: Callable = z_plasma):
     (w^2/ec^2) vt zeta Gamma5)(1/Z + zeta)."""
 
     def hot_plasma_expansion(w, kvec, pos, t, eq):
-        b = eq.magnetic_field(pos)
+        pq = eq.plasma_quantities(pos)
+        b = pq.b
         b_len = _norm(b)
         bhat = b / b_len
-        ne = eq.electron_density(pos)
-        te = eq.electron_temperature(pos)
+        ne, te = pq.ne, pq.te
 
         ve = jnp.sqrt(2.0 * Q * te / ME)
         ec = cyclotron_frequency(Q, b_len, ME)

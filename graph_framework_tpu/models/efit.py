@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from graph_framework_tpu.models.equilibrium import Equilibrium
+from graph_framework_tpu.models.equilibrium import (
+    Equilibrium, PlasmaQuantities)
 from graph_framework_tpu.ops.spline import (
     eval_cubic_1d, eval_cubic_multi, eval_bicubic_2d, eval_bicubic_jet)
 from graph_framework_tpu.ops.newton import newton_solve_multi
@@ -161,6 +162,36 @@ class EfitEquilibrium(Equilibrium):
         # branch-flips the rotation for Re(x) < 0, which x/r avoids.
         c, s = x / r, y / r
         return jnp.stack([br * c - bp * s, br * s + bp * c, bz])
+
+    # -- fused dispersion inputs -------------------------------------------
+    def plasma_quantities(self, pos):
+        """All dispersion inputs from TWO gathers: one bicubic jet block
+        (psi + its R/Z derivatives) and one fused profile block
+        (ne, te, pressure, fpol share the psi cell index).
+
+        This is the TPU-layout version of the reference's subgraph
+        memoization (equilibrium.hpp ``set_cache``, :1324-1384): inside one
+        compiled kernel the cold-plasma D reads ne, ni(=te), and B, and all
+        of them key on the same psi(R, Z) evaluation.
+        """
+        x, y, z = pos[0], pos[1], pos[2]
+        r = jnp.sqrt(x * x + y * y)
+        psi_val, dpsi_dr, dpsi_dz = eval_bicubic_jet(
+            self.psi_coeffs, r, self.dr, self.rmin, z, self.dz, self.zmin,
+            local=self.cell_local)
+        ne, te, pres, fpol = self.profiles(psi_val)
+
+        br = dpsi_dz / r
+        bp = fpol / r
+        bz = -dpsi_dr / r
+        c, s = x / r, y / r        # algebraic rotation (see magnetic_field)
+        b = jnp.stack([br * c - bp * s, br * s + bp * c, bz])
+
+        # ni = te quirk and the rounded q, as in ion_density/ion_temperature.
+        q = 1.60218e-19
+        ni = te
+        ti = (pres - ne * te * q) / (ni * q)
+        return PlasmaQuantities(b=b, ne=ne, te=te, ni=(ni,), ti=(ti,))
 
     def characteristic_field(self):
         """|B| at the magnetic axis, found by Newton on the normalized flux

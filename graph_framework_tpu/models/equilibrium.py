@@ -16,12 +16,30 @@ eV, magnetic fields in T, positions in m.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from graph_framework_tpu.constants import MI_DEUTERIUM
+
+
+class PlasmaQuantities(NamedTuple):
+    """Everything a dispersion relation reads from the equilibrium at one
+    point, fetched together.
+
+    The reference memoizes equilibrium subgraphs keyed on the evaluation
+    point (``set_cache``, equilibrium.hpp:1324-1384) so the ne/te/B
+    expressions share their psi lookup inside one kernel; the TPU-native
+    equivalent is this fused accessor - spline equilibria serve all fields
+    from a single coefficient-block gather instead of one gather per
+    accessor call (see ``EfitEquilibrium.plasma_quantities``).
+    """
+    b: jax.Array                 # magnetic field (3,) [T]
+    ne: jax.Array                # electron density [1/m^3]
+    te: jax.Array                # electron temperature [eV]
+    ni: Tuple[jax.Array, ...]    # per-species ion densities
+    ti: Tuple[jax.Array, ...]    # per-species ion temperatures
 
 
 class Equilibrium:
@@ -55,6 +73,23 @@ class Equilibrium:
 
     def magnetic_field(self, pos):
         raise NotImplementedError
+
+    def plasma_quantities(self, pos) -> PlasmaQuantities:
+        """All dispersion inputs at one point (see PlasmaQuantities).
+
+        Default: delegate to the individual accessors - correct for the
+        analytic equilibria, whose quantities share no work.  Spline
+        equilibria override this to share the table gathers; unused
+        outputs are dead-code-eliminated by XLA.
+        """
+        n = self.num_ion_species
+        return PlasmaQuantities(
+            b=self.magnetic_field(pos),
+            ne=self.electron_density(pos),
+            te=self.electron_temperature(pos),
+            ni=tuple(self.ion_density(i, pos) for i in range(n)),
+            ti=tuple(self.ion_temperature(i, pos) for i in range(n)),
+        )
 
     def characteristic_field(self):
         """Normalizing field magnitude (used by the Boris pusher;

@@ -126,3 +126,26 @@ def test_gradients_wrt_coefficients(eq):
     assert g.shape == eq.psi_coeffs.shape
     assert np.isfinite(np.asarray(g)).all()
     assert np.any(np.asarray(g) != 0.0)
+
+
+def test_plasma_quantities_fused_matches_accessors(eq):
+    """The fused two-gather accessor (plasma_quantities) must agree exactly
+    with the individual accessor methods it replaces in the hot path."""
+    rng = np.random.default_rng(3)
+    pos = jnp.stack([
+        jnp.asarray(rng.uniform(1.2, 2.2, 64)),
+        jnp.asarray(rng.uniform(-0.5, 0.5, 64)),
+        jnp.asarray(rng.uniform(-0.8, 0.8, 64))], axis=-1)
+
+    pq = jax.vmap(eq.plasma_quantities)(pos)
+    np.testing.assert_allclose(pq.b, jax.vmap(eq.magnetic_field)(pos),
+                               rtol=1e-14, atol=0)
+    np.testing.assert_allclose(pq.ne, jax.vmap(eq.electron_density)(pos),
+                               rtol=1e-14)
+    np.testing.assert_allclose(pq.te, jax.vmap(eq.electron_temperature)(pos),
+                               rtol=1e-14)
+    np.testing.assert_allclose(
+        pq.ni[0], jax.vmap(lambda p: eq.ion_density(0, p))(pos), rtol=1e-14)
+    np.testing.assert_allclose(
+        pq.ti[0], jax.vmap(lambda p: eq.ion_temperature(0, p))(pos),
+        rtol=1e-12)
