@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import itertools
 import math
+import weakref
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -30,7 +31,37 @@ import jax
 import jax.numpy as jnp
 
 
-class Expr:
+#: hash-consing cache: structural key -> live node (weak, so unreferenced
+#: subgraphs are evicted rather than leaking across graph builds).
+_INTERN: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
+
+
+class _InternMeta(type):
+    """Hash-consing constructor cache (node.hpp:946-960).
+
+    Constructing a structurally identical immutable node returns the cached
+    instance, so identical subexpressions share one object (and one emit
+    per evaluation) - the reference's thread_local node caches with
+    linear-probe collision handling, done with a Python dict.  Classes
+    opt in by defining ``_intern_key`` (returning None skips the cache);
+    mutable nodes (Variable, Random) and identity-like wrappers
+    (PseudoVariable) stay uncached.
+    """
+
+    def __call__(cls, *args, **kw):
+        keyfn = getattr(cls, "_intern_key", None)
+        key = keyfn(*args, **kw) if keyfn is not None else None
+        if key is None:
+            return super().__call__(*args, **kw)
+        key = (cls, *key)
+        hit = _INTERN.get(key)
+        if hit is None:
+            hit = super().__call__(*args, **kw)
+            _INTERN[key] = hit
+        return hit
+
+
+class Expr(metaclass=_InternMeta):
     """Base expression node."""
 
     _ids = itertools.count()
@@ -89,6 +120,29 @@ class Expr:
     def to_latex(self) -> str:
         raise NotImplementedError
 
+    def _match_payload(self):
+        """Structural payload for is_match; None = identity-only node
+        (Variable, PseudoVariable, Random - the reference's variable-like
+        nodes match only themselves)."""
+        return ()
+
+    def is_match(self, other: "Expr") -> bool:
+        """Structural equality (node.hpp is_match).  With the constructor
+        cache (hash-consing) structurally identical graphs are usually the
+        same object, so this is an O(1) identity hit in practice; the
+        recursive compare covers nodes built outside the cache
+        (_rebuild clones, uncacheable payloads)."""
+        if self is other:
+            return True
+        if type(self) is not type(other):
+            return False
+        pa, pb = self._match_payload(), other._match_payload()
+        if pa is None or pb is None or pa != pb:
+            return False
+        ca, cb = self.children(), other.children()
+        return len(ca) == len(cb) and all(
+            x.is_match(y) for x, y in zip(ca, cb))
+
     def remove_pseudo(self) -> "Expr":
         """Strip pseudo-variable wrappers (node.hpp remove_pseudo)."""
         subs = tuple(c.remove_pseudo() for c in self.children())
@@ -140,6 +194,18 @@ class Constant(Expr):
         super().__init__()
         self.value = value
 
+    @staticmethod
+    def _intern_key(value):
+        if isinstance(value, (bool, int, float, complex,
+                              np.integer, np.floating, np.complexfloating)):
+            return (type(value), value)
+        return None           # array-valued constants: not interned
+
+    def _match_payload(self):
+        if isinstance(self.value, np.ndarray):
+            return (self.value.tobytes(), self.value.shape)
+        return (self.value,)
+
     def emit_cached(self, rec, env):
         return jnp.asarray(self.value)
 
@@ -166,6 +232,9 @@ class Variable(Expr):
         assert np.isfinite(self.data).all(), \
             "NaN or inf in variable buffer (node.hpp:1426)"
 
+    def _match_payload(self):
+        return None           # a variable matches only itself
+
     def set(self, value):
         self.data = (np.full(self.size, value)
                      if np.ndim(value) == 0 else np.asarray(value))
@@ -189,6 +258,9 @@ class PseudoVariable(Expr):
     def __init__(self, inner: Expr):
         super().__init__()
         self.inner = inner
+
+    def _match_payload(self):
+        return None           # pseudo variables are distinct variables
 
     def children(self):
         return (self.inner,)
@@ -215,6 +287,12 @@ class _Binary(Expr):
     def __init__(self, a: Expr, b: Expr):
         super().__init__()
         self.a, self.b = a, b
+
+    @staticmethod
+    def _intern_key(a, b):
+        if isinstance(a, Expr) and isinstance(b, Expr):
+            return (id(a), id(b))
+        return None
 
     def children(self):
         return (self.a, self.b)
@@ -270,6 +348,12 @@ class Div(_Binary):
 class Fma(Expr):
     """fma(a, b, c) = a*b + c (arithmetic.hpp fma_node)."""
 
+    @staticmethod
+    def _intern_key(a, b, c):
+        if all(isinstance(v, Expr) for v in (a, b, c)):
+            return (id(a), id(b), id(c))
+        return None
+
     def __init__(self, a, b, c):
         super().__init__()
         self.a, self.b, self.c = as_expr(a), as_expr(b), as_expr(c)
@@ -295,6 +379,10 @@ class Fma(Expr):
 class _Unary(Expr):
     fn = None
     name = "?"
+
+    @staticmethod
+    def _intern_key(a):
+        return (id(a),) if isinstance(a, Expr) else None
 
     def __init__(self, a: Expr):
         super().__init__()
@@ -409,6 +497,9 @@ class Random(Expr):
         self.size = size
         self.key = jax.random.PRNGKey(seed)
 
+    def _match_payload(self):
+        return None           # every random node is an independent stream
+
     def emit_cached(self, rec, env):
         # workflows feed a fresh key through env per kernel invocation
         # (the reference advances per-thread MT state on device,
@@ -427,6 +518,17 @@ class Random(Expr):
 
 class Piecewise1D(Expr):
     """piecewise_1D table lookup (piecewise.hpp:105-...)."""
+
+    @staticmethod
+    def _intern_key(data, arg, scale, offset):
+        # hash the table data like the reference does (piecewise.hpp:140-189)
+        if isinstance(arg, Expr) and np.isscalar(scale) and np.isscalar(offset):
+            d = np.asarray(data)
+            return (hash(d.tobytes()), d.shape, id(arg), scale, offset)
+        return None
+
+    def _match_payload(self):
+        return (self.data.tobytes(), self.scale, self.offset)
 
     def __init__(self, data, arg: Expr, scale, offset):
         super().__init__()
@@ -454,6 +556,19 @@ class Piecewise1D(Expr):
 
 class Piecewise2D(Expr):
     """piecewise_2D table lookup (piecewise.hpp:686-...)."""
+
+    @staticmethod
+    def _intern_key(data, num_cols, x, x_scale, x_offset,
+                    y, y_scale, y_offset):
+        if isinstance(x, Expr) and isinstance(y, Expr):
+            d = np.asarray(data)
+            return (hash(d.tobytes()), d.shape, int(num_cols), id(x),
+                    x_scale, x_offset, id(y), y_scale, y_offset)
+        return None
+
+    def _match_payload(self):
+        return (self.data.tobytes(), self.x_scale, self.x_offset,
+                self.y_scale, self.y_offset)
 
     def __init__(self, data, num_cols, x, x_scale, x_offset,
                  y, y_scale, y_offset):
@@ -488,6 +603,15 @@ class Index1D(Expr):
     the PIC field gather - identical arithmetic to Piecewise1D but the
     source is a workflow variable updated between runs."""
 
+    @staticmethod
+    def _intern_key(var, arg, scale, offset):
+        if isinstance(var, Variable) and isinstance(arg, Expr):
+            return (id(var), id(arg), scale, offset)
+        return None
+
+    def _match_payload(self):
+        return (self.scale, self.offset)
+
     def __init__(self, var: "Variable", arg: Expr, scale, offset):
         super().__init__()
         self.var = var
@@ -516,6 +640,19 @@ class Index1D(Expr):
 class Index2D(Expr):
     """index_2D gather from a mutable variable over a 2D grid
     (the 2D analogue of Index1D; reference graph_c_binding.h index_2D)."""
+
+    @staticmethod
+    def _intern_key(var, num_cols, x, x_scale, x_offset,
+                    y, y_scale, y_offset):
+        if isinstance(var, Variable) and isinstance(x, Expr) \
+                and isinstance(y, Expr):
+            return (id(var), int(num_cols), id(x), x_scale, x_offset,
+                    id(y), y_scale, y_offset)
+        return None
+
+    def _match_payload(self):
+        return (self.num_cols, self.x_scale, self.x_offset,
+                self.y_scale, self.y_offset)
 
     def __init__(self, var: "Variable", num_cols, x, x_scale, x_offset,
                  y, y_scale, y_offset):

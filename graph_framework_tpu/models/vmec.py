@@ -35,13 +35,15 @@ from graph_framework_tpu.ops.tables import table_index_1d
 def _spline_modes(coeffs, s, scale, offset, local):
     """Evaluate all per-mode radial splines at scalar s.
 
-    ``coeffs``: (4, num_modes, num_s).  Returns (num_modes,).
+    ``coeffs``: cell-major (num_s, 4, num_modes) - one contiguous
+    (4, num_modes) block gather per point (see ops.spline docstring for the
+    measured one-index-gather win).  Returns (num_modes,).
     """
     u = (s - offset) / scale
-    idx = table_index_1d(s, scale, offset, coeffs.shape[2])
+    idx = table_index_1d(s, scale, offset, coeffs.shape[0])
     if local:
         u = u - idx.astype(u.dtype)
-    block = coeffs[:, :, idx]                    # (4, num_modes)
+    block = coeffs[idx]                          # (4, num_modes)
     return block[0] + u * (block[1] + u * (block[2] + u * block[3]))
 
 
@@ -50,10 +52,10 @@ def _spline_modes(coeffs, s, scale, offset, local):
 class VmecEquilibrium(Equilibrium):
     """Stellarator equilibrium in VMEC flux coordinates."""
 
-    chi_coeffs: jax.Array       # (4, numsf) poloidal flux chi(s)
-    rmnc_coeffs: jax.Array      # (4, num_modes, numsf)
-    zmns_coeffs: jax.Array      # (4, num_modes, numsf)
-    lmns_coeffs: jax.Array      # (4, num_modes, numsh) half grid
+    chi_coeffs: jax.Array       # (numsf, 4) poloidal flux chi(s), cell-major
+    rmnc_coeffs: jax.Array      # (numsf, 4, num_modes) cell-major
+    zmns_coeffs: jax.Array      # (numsf, 4, num_modes) cell-major
+    lmns_coeffs: jax.Array      # (numsh, 4, num_modes) half grid, cell-major
     xm: jax.Array               # (num_modes,) poloidal mode numbers
     xn: jax.Array               # (num_modes,) toroidal mode numbers
     signj: float = dataclasses.field(metadata=dict(static=True))
@@ -107,11 +109,12 @@ class VmecEquilibrium(Equilibrium):
         arg = (s - self.sminf) / self.ds if self.quirky_chi else s
         un = (arg - self.sminf) / self.ds
         idx = table_index_1d(arg, self.ds, self.sminf,
-                             self.chi_coeffs.shape[1])
+                             self.chi_coeffs.shape[0])
         if self.cell_local:
             un = un - idx.astype(un.dtype)
-        c = self.chi_coeffs[:, idx]
-        return c[0] + un * (c[1] + un * (c[2] + un * c[3]))
+        c = self.chi_coeffs[idx]
+        return c[..., 0] + un * (c[..., 1] + un * (c[..., 2]
+                                                   + un * c[..., 3]))
 
     def phi(self, s):
         """Toroidal flux: signj * dphi * s (equilibrium.hpp:2061)."""
@@ -206,7 +209,8 @@ def make_vmec(path, dtype=jnp.float64, cell_local=True, quirky_chi=False):
     ``cell_local``: rebase radial spline tables to cell-local coordinates at
     load time for well-conditioned evaluation (see efit.make_efit).
     """
-    from graph_framework_tpu.ops.spline import rebase_cells_1d
+    from graph_framework_tpu.ops.spline import (
+        rebase_cells_1d, to_cell_major_1d)
 
     with h5py.File(path, "r") as h:
         def arr(name):
@@ -233,6 +237,12 @@ def make_vmec(path, dtype=jnp.float64, cell_local=True, quirky_chi=False):
             rmnc = rebase_modes(rmnc)
             zmns = rebase_modes(zmns)
             lmns = rebase_modes(lmns)
+
+        # cell-major runtime layout: (num_s, 4, num_modes) / (numsf, 4)
+        chi = to_cell_major_1d(chi)
+        rmnc = np.ascontiguousarray(rmnc.transpose(2, 0, 1))
+        zmns = np.ascontiguousarray(zmns.transpose(2, 0, 1))
+        lmns = np.ascontiguousarray(lmns.transpose(2, 0, 1))
 
         return VmecEquilibrium(
             chi_coeffs=jnp.asarray(chi, dtype=dtype),

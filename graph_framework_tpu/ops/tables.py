@@ -71,7 +71,9 @@ def piecewise_2d(data, x, x_scale, x_offset, y, y_scale, y_offset):
     num_rows, num_cols = data.shape
     i = table_index_1d(x, x_scale, x_offset, num_rows)
     j = table_index_1d(y, y_scale, y_offset, num_cols)
-    return data[i, j]
+    # one linearized index: a single-index gather lowers to the fast TPU
+    # gather path, unlike the strided two-index form (see ops/spline.py).
+    return data.reshape(-1)[i * num_cols + j]
 
 
 def index_1d(values, x, scale, offset):

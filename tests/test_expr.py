@@ -139,3 +139,33 @@ def test_latex_output():
     x = g.variable(1, 1.0, "x")
     s = (g.sin(x) * x).to_latex()
     assert "sin" in s and "x" in s
+
+
+def test_hash_consing_dedupes_structural_builds():
+    """node.hpp:946-960 constructor cache: building the same expression
+    twice yields the same node object; variables/randoms stay distinct."""
+    x = g.Variable(4, name="x")
+    assert (x + 2.0) is (x + 2.0)
+    assert g.Sin(x * x) is g.Sin(x * x)
+    assert (x + 2.0) is not (x + 2.5)
+    assert (x + 2.0) is not (x - 2.0)
+    # random nodes never collapse (each is an independent stream;
+    # random_test.cpp graph-identity rules)
+    assert g.Random(4) is not g.Random(4)
+    # pseudo variables are distinct df barriers
+    assert g.PseudoVariable(x + 1.0) is not g.PseudoVariable(x + 1.0)
+
+
+def test_is_match_structural_equality():
+    """leaf_node::is_match: structural equality, with variables matching
+    only themselves (node.hpp:364-672)."""
+    x = g.Variable(4, name="x")
+    y = g.Variable(4, name="y")
+    a = (x + 1.0) * g.Cos(y)
+    b = (x + 1.0) * g.Cos(y)
+    assert a.is_match(b)
+    assert not a.is_match((x + 1.0) * g.Sin(y))
+    assert not (x + 1.0).is_match(y + 1.0)
+    # clones built outside the constructor cache still match structurally
+    clone = a._rebuild(a.children())
+    assert clone is not a and a.is_match(clone)

@@ -12,6 +12,8 @@ import numpy as np
 from scipy.interpolate import CubicSpline
 
 from graph_framework_tpu.ops import spline_1d, eval_bicubic_2d
+from graph_framework_tpu.ops.spline import (
+    eval_cubic_1d, to_cell_major_1d, to_cell_major_2d)
 
 
 def _cell_coeffs_from_scipy(cs, offset, scale, n_cells):
@@ -78,7 +80,7 @@ def test_bicubic_separable_polynomial():
     rng = np.random.default_rng(0)
     coeffs = np.broadcast_to(
         rng.normal(size=(4, 4, 1, 1)), (4, 4, nr, nc)).copy()
-    cj = jnp.array(coeffs)
+    cj = jnp.array(to_cell_major_2d(coeffs))
     x_scale, x_offset = 0.5, 1.0
     y_scale, y_offset = 0.25, -1.0
 
@@ -106,7 +108,7 @@ def test_bicubic_separable_polynomial():
 def test_bicubic_batched():
     nr, nc = 6, 7
     rng = np.random.default_rng(1)
-    coeffs = jnp.array(rng.normal(size=(4, 4, nr, nc)))
+    coeffs = jnp.array(to_cell_major_2d(rng.normal(size=(4, 4, nr, nc))))
     xs = jnp.array(rng.uniform(0.2, nr - 1.2, size=50))
     ys = jnp.array(rng.uniform(0.2, nc - 1.2, size=50))
     batched = eval_bicubic_2d(coeffs, xs, 1.0, 0.0, ys, 1.0, 0.0)
@@ -115,3 +117,19 @@ def test_bicubic_batched():
         for i in range(50)])
     np.testing.assert_allclose(np.asarray(batched), np.asarray(single),
                                rtol=1e-13)
+
+
+def test_eval_cubic_1d_cell_major_matches_spline_1d():
+    offset, scale, n = -2.0, 0.125, 48
+    xs_grid = offset + scale * np.arange(n + 1)
+    f = np.sin(xs_grid) * np.exp(-0.1 * xs_grid**2)
+    cs = CubicSpline(xs_grid, f)
+    c0, c1, c2, c3 = _cell_coeffs_from_scipy(cs, offset, scale, n)
+    cm = jnp.array(to_cell_major_1d(np.stack([c0, c1, c2, c3])))
+
+    xq = jnp.array(np.linspace(offset + 0.01, offset + scale * n - 0.01, 77))
+    got = eval_cubic_1d(cm, xq, scale, offset)
+    want = spline_1d(jnp.array(c0), jnp.array(c1), jnp.array(c2),
+                     jnp.array(c3), xq, scale, offset)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-12)
