@@ -35,6 +35,8 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 EFIT_FILE = "/root/reference/graph_tests/efit.nc"
+VMEC_FILE = "/root/reference/graph_tests/vmec.nc"
+BENCH_EQ = os.environ.get("BENCH_EQ", "efit")     # efit | vmec (config 4)
 NUM_RAYS = int(os.environ.get("BENCH_RAYS", 100_000))
 NUM_STEPS = int(os.environ.get("BENCH_STEPS", 100))   # recorded steps
 SUB_STEPS = int(os.environ.get("BENCH_SUB_STEPS", 10))
@@ -42,14 +44,20 @@ BASELINE_RAY_STEPS_PER_S = 1.0e6
 
 
 def main():
-    from graph_framework_tpu.models import make_efit
+    from graph_framework_tpu.models import make_efit, make_vmec
     from graph_framework_tpu.models import dispersion as disp
     from graph_framework_tpu.solver import Solver, make_ray_state, init_k
 
     dtype = jnp.float32
-    eq = make_efit(EFIT_FILE, dtype=dtype)
-    state = make_ray_state(NUM_RAYS, w=500.0, x=2.5, y=0.0, z=0.0,
-                           kx=-500.0, ky=0.0, kz=0.0, dtype=dtype)
+    if BENCH_EQ == "vmec":
+        # BASELINE.json staged config 4: 3D stellarator trace in flux coords
+        eq = make_vmec(VMEC_FILE, dtype=dtype)
+        state = make_ray_state(NUM_RAYS, w=900.0, x=0.5, y=0.5, z=0.0,
+                               kx=500.0, ky=0.0, kz=0.0, dtype=dtype)
+    else:
+        eq = make_efit(EFIT_FILE, dtype=dtype)
+        state = make_ray_state(NUM_RAYS, w=500.0, x=2.5, y=0.0, z=0.0,
+                               kx=-500.0, ky=0.0, kz=0.0, dtype=dtype)
 
     sol = Solver(disp.cold_plasma, eq, method="rk4",
                  dt=1.0 / (NUM_STEPS * SUB_STEPS), sub_steps=SUB_STEPS)
@@ -80,7 +88,7 @@ def main():
     ray_steps_per_s = NUM_RAYS * integrator_steps / elapsed
 
     print(json.dumps({
-        "metric": "ray-steps/s/chip (rk4+cold_plasma+EFIT, "
+        "metric": f"ray-steps/s/chip (rk4+cold_plasma+{BENCH_EQ.upper()}, "
                   f"{NUM_RAYS} rays f32)",
         "value": round(ray_steps_per_s, 1),
         "unit": "ray-steps/s",

@@ -114,8 +114,7 @@ def ion_cyclotron(w, kvec, pos, t, eq):
     b = pq.b
     wce = cyclotron_frequency(-Q, _norm(b), ME)
     bhat = _bhat_or_zero(b)
-    kperp_vec = jnp.cross(bhat, kvec)
-    kperp2 = jnp.sum(kperp_vec * kperp_vec)
+    kperp2 = jnp.sum(kvec * kvec) - jnp.sum(bhat * kvec) ** 2
     return wce - kperp2 * vs2 - w * w
 
 
@@ -125,8 +124,8 @@ def ordinary_wave(w, kvec, pos, t, eq):
     wpe2 = plasma_frequency_squared(pq.ne, Q, ME)
     n = kvec / w
     bhat = _bhat_or_zero(pq.b)
-    nperp = jnp.cross(bhat, n)
-    return 1.0 - wpe2 / (w * w) - jnp.sum(nperp * nperp)
+    nperp2 = jnp.sum(n * n) - jnp.sum(bhat * n) ** 2
+    return 1.0 - wpe2 / (w * w) - nperp2
 
 
 def extra_ordinary_wave(w, kvec, pos, t, eq):
@@ -139,8 +138,7 @@ def extra_ordinary_wave(w, kvec, pos, t, eq):
     wce = cyclotron_frequency(-Q, _norm(b), ME)
     n = kvec / w
     bhat = _bhat_or_zero(b)
-    nperp = jnp.cross(bhat, n)
-    nperp2 = jnp.sum(nperp * nperp)
+    nperp2 = jnp.sum(n * n) - jnp.sum(bhat * n) ** 2
     wh2 = wpe2 + wce * wce
     w2 = w * w
     return 1.0 - wpe2 / w2 * (w2 - wpe2) / (w2 - wh2) - nperp2
@@ -177,18 +175,20 @@ def cold_plasma(w, kvec, pos, t, eq):
 
     n = kvec / w
     bhat = b / b_len
+    n2 = jnp.sum(n * n)
     npara = jnp.sum(bhat * n)
     npara2 = npara * npara
-    nperp_vec = jnp.cross(bhat, n)
-    nperp2 = jnp.sum(nperp_vec * nperp_vec)
-    nperp = jnp.sqrt(nperp2)
+    # |n x bhat|^2 = |n|^2 - (n.bhat)^2: the Lagrange identity replaces the
+    # cross product, and m13 enters the determinant only squared, so the
+    # reference's nperp = sqrt(...) never needs evaluating.
+    nperp2 = n2 - npara2
 
     m11 = e11 - npara2
     m12 = e12
-    m13 = npara * nperp
-    m22 = e11 - npara2 - nperp2
+    m13_sq = npara2 * nperp2
+    m22 = e11 - n2
     m33 = e33 - nperp2
-    return (m11 * m22 - m12 * m12) * m33 - m22 * (m13 * m13)
+    return (m11 * m22 - m12 * m12) * m33 - m22 * m13_sq
 
 
 def cold_plasma_expansion(w, kvec, pos, t, eq):
@@ -209,8 +209,7 @@ def cold_plasma_expansion(w, kvec, pos, t, eq):
     n2 = jnp.sum(n * n)
     npara = jnp.sum(n * bhat)
     npara2 = npara * npara
-    nperp_vec = jnp.cross(bhat, n)
-    nperp2 = jnp.sum(nperp_vec * nperp_vec)
+    nperp2 = n2 - npara2
     n2nperp2 = n2 * nperp2
 
     q_func = 1.0 - 2.0 * q
@@ -251,8 +250,7 @@ def make_hot_plasma(z_function: Callable = z_plasma):
         n2 = jnp.sum(n * n)
         npara = jnp.sum(n * bhat)
         npara2 = npara * npara
-        nperp_vec = jnp.cross(bhat, n)
-        nperp2 = jnp.sum(nperp_vec * nperp_vec)
+        nperp2 = n2 - npara2
 
         zeta = (1.0 - ec / w) / (npara * ve)
         Zf = z_function(zeta)
@@ -301,8 +299,7 @@ def make_hot_plasma_expansion(z_function: Callable = z_plasma):
         n2 = jnp.sum(n * n)
         npara = jnp.sum(bhat * n)
         npara2 = npara * npara
-        nperp_vec = jnp.cross(bhat, n)
-        nperp2 = jnp.sum(nperp_vec * nperp_vec)
+        nperp2 = n2 - npara2
 
         vtnorm = ve / _C
         zeta = (1.0 - ec / w) / (npara * vtnorm)

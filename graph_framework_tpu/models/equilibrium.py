@@ -106,6 +106,8 @@ class Equilibrium:
     def kvec(self, kcov, pos):
         """Physical wave vector from covariant components:
         k = kx e^1 + ky e^2 + kz e^3 (dispersion.hpp:1387-1389)."""
+        if self.is_cartesian():
+            return kcov        # identity basis: skip the 3x3 contraction
         return kcov @ self.esup(pos)
 
     def is_cartesian(self) -> bool:
