@@ -169,3 +169,17 @@ def test_is_match_structural_equality():
     # clones built outside the constructor cache still match structurally
     clone = a._rebuild(a.children())
     assert clone is not a and a.is_match(clone)
+
+
+def test_random_statistical_quality():
+    """Autocorrelation bound on the uniform stream (random_test.cpp:29-80:
+    the reference checks lag autocorrelations of its MT kernel stay small;
+    same bound applied to the counter-based TPU generator)."""
+    r = g.random(20000, seed=11)
+    x = np.asarray(r.evaluate())
+    assert 0.45 < x.mean() < 0.55
+    assert 0.07 < x.var() < 0.10          # uniform: 1/12 ~ 0.0833
+    xc = x - x.mean()
+    for lag in (1, 2, 5, 10):
+        ac = float(np.mean(xc[:-lag] * xc[lag:]) / x.var())
+        assert abs(ac) < 0.05, (lag, ac)
