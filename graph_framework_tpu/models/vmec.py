@@ -40,11 +40,16 @@ def _spline_modes(coeffs, s, scale, offset, local):
     measured one-index-gather win).  Returns (num_modes,).
     """
     u = (s - offset) / scale
-    idx = table_index_1d(s, scale, offset, coeffs.shape[0])
+    ns, _, m = coeffs.shape
+    idx = table_index_1d(s, scale, offset, ns)
     if local:
         u = u - idx.astype(u.dtype)
-    block = coeffs[idx]                          # (4, num_modes)
-    return block[0] + u * (block[1] + u * (block[2] + u * block[3]))
+    # flat single-trailing-dim gather + free reshape (see ops/spline.py:
+    # multi-trailing-dim gathers lower to a slow TPU path)
+    block = coeffs.reshape(ns, 4 * m)[idx].reshape(
+        jnp.shape(idx) + (4, m))                 # (..., 4, num_modes)
+    return (block[..., 0, :] + u * (block[..., 1, :]
+            + u * (block[..., 2, :] + u * block[..., 3, :])))
 
 
 @jax.tree_util.register_dataclass
