@@ -152,7 +152,8 @@ class VmecEquilibrium(Equilibrium):
         esup_v = jnp.cross(esub_s, esub_u) / jac
 
         phip = self.signj * self.dphi                     # d(phi)/ds
-        dchi_ds = jax.grad(self.chi)(s)
+        dchi_ds = jax.grad(self.chi,
+                           holomorphic=jnp.iscomplexobj(s))(s)
         jbsupu = dchi_ds - phip * dl[2]
         jbsupv = phip * (1.0 + dl[1])
         bvec = (jbsupu * esub_u + jbsupv * esub_v) / jac
@@ -204,7 +205,10 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
 
     coords = jnp.stack([s, u, v])
     vals = f(coords)
-    jac = jax.jacfwd(f)(coords)          # (3 outputs, 3 coords)
+    # holomorphic for the complex-coordinate absorption phase: the series
+    # is polynomial/trig in the coordinates, so d/dz is the analytic
+    # continuation (matching the reference's symbolic df over complex).
+    jac = jax.jacfwd(f, holomorphic=jnp.iscomplexobj(coords))(coords)
     return (vals[0], vals[1], vals[2]), (jac[0], jac[1], jac[2])
 
 

@@ -153,3 +153,27 @@ def test_wofz_split_matches_scipy():
     got = np.asarray(w.re) + 1j * np.asarray(w.im)
     err = np.abs(got - sps.wofz(z)) / np.abs(sps.wofz(z))
     assert err.max() < 1e-12
+
+
+def test_weak_damping_vmec_finite(vmec_file):
+    """Exercise the absorption path through the 3D VMEC equilibrium
+    (non-cartesian basis: the covariant k-gradient maps through esup;
+    absorption.hpp:408-412).  The reference never exercises this
+    combination in its tests; capability check that it is finite and
+    kamp ~ |k| here."""
+    from graph_framework_tpu.models import make_vmec
+    eq = make_vmec(vmec_file)
+    # kz (toroidal covariant component) gives k a parallel component; a
+    # purely-perpendicular launch makes zeta ~ 1e3 and the weak-damping
+    # expansion meaningless (correction >> |k|).
+    st = make_ray_state(3, w=900.0, x=0.5, y=0.5, z=0.0,
+                        kx=500.0, ky=0.0, kz=300.0, dtype=jnp.complex128)
+    st = init_k(st, disp.cold_plasma, eq, "kx", tolerance=1e-18)
+    kamp = make_weak_damping(eq)(st)
+    k = np.asarray(kamp)
+    assert np.isfinite(k.real).all() and np.isfinite(k.imag).all()
+    pos = jnp.stack([st.x, st.y, st.z], axis=-1)
+    kcov = jnp.stack([st.kx, st.ky, st.kz], axis=-1)
+    kvec = jax.vmap(eq.kvec)(kcov, pos)
+    klen = np.sqrt(np.abs(np.sum(np.asarray(kvec) ** 2, axis=-1)))
+    assert np.allclose(k.real, klen, rtol=0.3)
