@@ -204,11 +204,16 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
         return jnp.stack([r, z, l])
 
     coords = jnp.stack([s, u, v])
-    vals = f(coords)
-    # holomorphic for the complex-coordinate absorption phase: the series
-    # is polynomial/trig in the coordinates, so d/dz is the analytic
-    # continuation (matching the reference's symbolic df over complex).
-    jac = jax.jacfwd(f, holomorphic=jnp.iscomplexobj(coords))(coords)
+    # one vmapped jvp over the 3 coordinate tangents gives primal AND
+    # Jacobian in a single pass (jacfwd discards its primal, which would
+    # cost an extra Fourier/spline evaluation here).  Works for complex
+    # coordinates too (the series is polynomial/trig, so the tangent is
+    # the analytic continuation, matching the reference's symbolic df).
+    tangents = jnp.eye(3, dtype=coords.dtype)
+    vals3, jac_t = jax.vmap(
+        lambda t: jax.jvp(f, (coords,), (t,)))(tangents)
+    vals = vals3[0]                       # primal, identical across tangents
+    jac = jnp.swapaxes(jac_t, 0, 1)       # (3 outputs, 3 coords)
     return (vals[0], vals[1], vals[2]), (jac[0], jac[1], jac[2])
 
 
