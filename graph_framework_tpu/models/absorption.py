@@ -126,26 +126,21 @@ def make_weak_damping_split(eq):
         Q, ME, C, plasma_frequency_squared, cyclotron_frequency)
     from graph_framework_tpu.ops.special import z_plasma_real
 
-    def kamp_one(t, w, x, y, z, kx, ky, kz):
-        pos = jnp.stack([x, y, z])
-        kcov = jnp.stack([kx, ky, kz])
-        esup = eq.esup(pos)
-        kvec = kcov @ esup
-        klen = jnp.sqrt(jnp.sum(kvec * kvec))
+    def kamp_batched(t, w, pos, kvec, ddc_vec):
+        """Batched (component-axis-leading) kamp body: vectors are
+        (3, ...) so every intermediate is lane-major on TPU (see
+        models/rays.py for the measured layout rationale).  ``ddc_vec`` is
+        the cold-expansion k-gradient as a physical vector, computed by the
+        caller (covariant-through-esup for non-cartesian equilibria,
+        absorption.hpp:408-412)."""
+        klen = jnp.sqrt(jnp.sum(kvec * kvec, axis=0))
         k_unit = kvec / klen
-
-        # real cold-plasma-expansion k-gradient
-        def dc_of(kcov_):
-            kvec_ = kcov_ @ esup
-            return disp.cold_plasma_expansion(w, kvec_, pos, t, eq)
-
-        ddc_vec = jax.grad(dc_of)(kcov) @ esup
-        denom = jnp.sum(k_unit * ddc_vec)
+        denom = jnp.sum(k_unit * ddc_vec, axis=0)
 
         # real pieces of Dw (transcription of make_hot_plasma_expansion
         # with the complex Z factored out)
         b = eq.magnetic_field(pos)
-        b_len = jnp.sqrt(jnp.sum(b * b))
+        b_len = jnp.sqrt(jnp.sum(b * b, axis=0))
         bhat = b / b_len
         ne = eq.electron_density(pos)
         te = eq.electron_temperature(pos)
@@ -155,11 +150,10 @@ def make_weak_damping_split(eq):
         P = wpe2 / (w * w)
         q = P / (2.0 * (1.0 + ec / w))
         n = kvec / w
-        n2 = jnp.sum(n * n)
-        npara = jnp.sum(bhat * n)
+        n2 = jnp.sum(n * n, axis=0)
+        npara = jnp.sum(bhat * n, axis=0)
         npara2 = npara * npara
-        nperp_vec = jnp.cross(bhat, n)
-        nperp2 = jnp.sum(nperp_vec * nperp_vec)
+        nperp2 = n2 - npara2
         vt = ve / C
         zeta = (1.0 - ec / w) / (npara * vt)
 
@@ -184,11 +178,34 @@ def make_weak_damping_split(eq):
         dw_im = R * (-z_im / zabs2)
         return klen - dw_re / denom, -dw_im / denom
 
-    vk = jax.vmap(kamp_one)
-
     def update(state: RayState):
-        return vk(state.t, state.w, state.x, state.y, state.z,
-                  state.kx, state.ky, state.kz)
+        pos = jnp.stack([state.x, state.y, state.z])
+        kcov = jnp.stack([state.kx, state.ky, state.kz])
+        if eq.is_cartesian():
+            t, w = state.t, state.w
+
+            # per-ray independence makes grad-of-sum the per-ray gradient
+            def dc_sum(kvec_):
+                return jnp.sum(
+                    disp.cold_plasma_expansion(w, kvec_, pos, t, eq))
+
+            ddc_vec = jax.grad(dc_sum)(kcov)
+            return kamp_batched(t, w, pos, kcov, ddc_vec)
+
+        def one(t, w, x, y, z, kx, ky, kz):
+            p = jnp.stack([x, y, z])
+            kc = jnp.stack([kx, ky, kz])
+            esup = eq.esup(p)
+            kv = kc @ esup
+
+            def dc_of(kc_):
+                return disp.cold_plasma_expansion(w, kc_ @ esup, p, t, eq)
+
+            ddc_vec = jax.grad(dc_of)(kc) @ esup
+            return kamp_batched(t, w, p, kv, ddc_vec)
+
+        return jax.vmap(one)(state.t, state.w, state.x, state.y, state.z,
+                             state.kx, state.ky, state.kz)
 
     return update
 

@@ -31,8 +31,21 @@ from graph_framework_tpu.ops.special import z_plasma, z_power_series, z_erfi
 # helpers
 # ---------------------------------------------------------------------------
 
+def _vdot(a, b):
+    """Dot product over the leading component axis.
+
+    Vector quantities here are shaped (3,) per point or (3, num_rays)
+    batched - the component axis LEADS so that under batched evaluation
+    every intermediate is a full (num_rays,) lane-major array.  A vmapped
+    formulation instead materializes (num_rays, 3) intermediates whose
+    3-wide trailing axis uses 3 of the 128 VPU lanes; measured on the
+    Boris pusher this costs 9x (125 ms vs 13.9 ms per 1e8-particle step).
+    """
+    return jnp.sum(a * b, axis=0)
+
+
 def _norm(v):
-    return jnp.sqrt(jnp.sum(v * v))
+    return jnp.sqrt(_vdot(v, v))
 
 
 def _bhat_or_zero(b):
@@ -53,7 +66,7 @@ def stiff(w, kvec, pos, t, eq):
 def simple(w, kvec, pos, t, eq):
     """Vacuum wave (dispersion.hpp:450-505): D = |k|^2 c^2/w^2 - 1 with
     c = 1 in normalized units."""
-    return jnp.sum(kvec * kvec) / (w * w) - 1.0
+    return _vdot(kvec, kvec) / (w * w) - 1.0
 
 
 def bohm_gross(w, kvec, pos, t, eq):
@@ -65,11 +78,11 @@ def bohm_gross(w, kvec, pos, t, eq):
     vterm2 = 2.0 * Q * pq.te / (ME * _C2)
 
     b = pq.b
-    b2 = jnp.sum(b * b)
+    b2 = _vdot(b, b)
     kpar2 = jnp.where(
         b2 == 0.0,
-        jnp.sum(kvec * kvec),
-        jnp.sum(b * kvec) ** 2 / jnp.where(b2 == 0.0, 1.0, b2))
+        _vdot(kvec, kvec),
+        _vdot(b, kvec) ** 2 / jnp.where(b2 == 0.0, 1.0, b2))
     return wpe2 + 1.5 * kpar2 * vterm2 - w * w
 
 
@@ -78,7 +91,7 @@ def light_wave(w, kvec, pos, t, eq):
     D = wpe^2 + |k|^2 - w^2."""
     ne = eq.plasma_quantities(pos).ne
     wpe2 = plasma_frequency_squared(ne, Q, ME)
-    return wpe2 + jnp.sum(kvec * kvec) - w * w
+    return wpe2 + _vdot(kvec, kvec) - w * w
 
 
 def acoustic_wave(w, kvec, pos, t, eq):
@@ -88,11 +101,11 @@ def acoustic_wave(w, kvec, pos, t, eq):
     pq = eq.plasma_quantities(pos)
     vs2 = (Q * pq.te + 3.0 * Q * pq.ti[0]) / (mi * _C2)
     b = pq.b
-    b2 = jnp.sum(b * b)
+    b2 = _vdot(b, b)
     kpar2 = jnp.where(
         b2 == 0.0,
-        jnp.sum(kvec * kvec),
-        jnp.sum(b * kvec) ** 2 / jnp.where(b2 == 0.0, 1.0, b2))
+        _vdot(kvec, kvec),
+        _vdot(b, kvec) ** 2 / jnp.where(b2 == 0.0, 1.0, b2))
     return kpar2 * vs2 - w * w
 
 
@@ -100,7 +113,7 @@ def gaussian_well(w, kvec, pos, t, eq):
     """Gaussian refractive well (dispersion.hpp:683-714):
     D = |n|^2 - (1 - 0.5 exp(-(x^2+y^2)/0.1))."""
     well = 1.0 - 0.5 * jnp.exp(-(pos[0] * pos[0] + pos[1] * pos[1]) / 0.1)
-    n2 = jnp.sum(kvec * kvec) / (w * w)
+    n2 = _vdot(kvec, kvec) / (w * w)
     return n2 - well
 
 
@@ -114,7 +127,7 @@ def ion_cyclotron(w, kvec, pos, t, eq):
     b = pq.b
     wce = cyclotron_frequency(-Q, _norm(b), ME)
     bhat = _bhat_or_zero(b)
-    kperp2 = jnp.sum(kvec * kvec) - jnp.sum(bhat * kvec) ** 2
+    kperp2 = _vdot(kvec, kvec) - _vdot(bhat, kvec) ** 2
     return wce - kperp2 * vs2 - w * w
 
 
@@ -124,7 +137,7 @@ def ordinary_wave(w, kvec, pos, t, eq):
     wpe2 = plasma_frequency_squared(pq.ne, Q, ME)
     n = kvec / w
     bhat = _bhat_or_zero(pq.b)
-    nperp2 = jnp.sum(n * n) - jnp.sum(bhat * n) ** 2
+    nperp2 = _vdot(n, n) - _vdot(bhat, n) ** 2
     return 1.0 - wpe2 / (w * w) - nperp2
 
 
@@ -138,7 +151,7 @@ def extra_ordinary_wave(w, kvec, pos, t, eq):
     wce = cyclotron_frequency(-Q, _norm(b), ME)
     n = kvec / w
     bhat = _bhat_or_zero(b)
-    nperp2 = jnp.sum(n * n) - jnp.sum(bhat * n) ** 2
+    nperp2 = _vdot(n, n) - _vdot(bhat, n) ** 2
     wh2 = wpe2 + wce * wce
     w2 = w * w
     return 1.0 - wpe2 / w2 * (w2 - wpe2) / (w2 - wh2) - nperp2
@@ -175,8 +188,8 @@ def cold_plasma(w, kvec, pos, t, eq):
 
     n = kvec / w
     bhat = b / b_len
-    n2 = jnp.sum(n * n)
-    npara = jnp.sum(bhat * n)
+    n2 = _vdot(n, n)
+    npara = _vdot(bhat, n)
     npara2 = npara * npara
     # |n x bhat|^2 = |n|^2 - (n.bhat)^2: the Lagrange identity replaces the
     # cross product, and m13 enters the determinant only squared, so the
@@ -206,8 +219,8 @@ def cold_plasma_expansion(w, kvec, pos, t, eq):
     q = P / (2.0 * (1.0 + ec / w))
 
     n = kvec / w
-    n2 = jnp.sum(n * n)
-    npara = jnp.sum(n * bhat)
+    n2 = _vdot(n, n)
+    npara = _vdot(n, bhat)
     npara2 = npara * npara
     nperp2 = n2 - npara2
     n2nperp2 = n2 * nperp2
@@ -247,8 +260,8 @@ def make_hot_plasma(z_function: Callable = z_plasma):
         q = P / (2.0 * (1.0 + ec / w))
 
         n = kvec / w
-        n2 = jnp.sum(n * n)
-        npara = jnp.sum(n * bhat)
+        n2 = _vdot(n, n)
+        npara = _vdot(n, bhat)
         npara2 = npara * npara
         nperp2 = n2 - npara2
 
@@ -296,8 +309,8 @@ def make_hot_plasma_expansion(z_function: Callable = z_plasma):
         q = P / (2.0 * (1.0 + ec / w))
 
         n = kvec / w
-        n2 = jnp.sum(n * n)
-        npara = jnp.sum(bhat * n)
+        n2 = _vdot(n, n)
+        npara = _vdot(bhat, n)
         npara2 = npara * npara
         nperp2 = n2 - npara2
 

@@ -155,7 +155,7 @@ class NoMagneticField(_AnalyticEquilibrium):
         return self.electron_temperature(pos)
 
     def magnetic_field(self, pos):
-        return jnp.zeros(3, dtype=jnp.result_type(pos))
+        return jnp.zeros_like(pos)
 
     def characteristic_field(self):
         return 1.0
@@ -180,7 +180,7 @@ class Slab(_AnalyticEquilibrium):
         return self.electron_temperature(pos)
 
     def magnetic_field(self, pos):
-        zero = jnp.zeros((), dtype=jnp.result_type(pos))
+        zero = jnp.zeros_like(pos[0])
         return jnp.stack([zero, zero, 0.1 * pos[0] + 1.0])
 
     def characteristic_field(self):
@@ -206,9 +206,8 @@ class SlabDensity(_AnalyticEquilibrium):
         return self.electron_temperature(pos)
 
     def magnetic_field(self, pos):
-        zero = jnp.zeros((), dtype=jnp.result_type(pos))
-        one = jnp.ones((), dtype=jnp.result_type(pos))
-        return jnp.stack([zero, zero, one])
+        zero = jnp.zeros_like(pos[0])
+        return jnp.stack([zero, zero, zero + 1.0])
 
     def characteristic_field(self):
         return 1.0
@@ -234,7 +233,7 @@ class SlabField(_AnalyticEquilibrium):
         return self.electron_temperature(pos)
 
     def magnetic_field(self, pos):
-        zero = jnp.zeros((), dtype=jnp.result_type(pos))
+        zero = jnp.zeros_like(pos[0])
         return jnp.stack([zero, zero, 0.01 * pos[0] + 1.0])
 
     def characteristic_field(self):
@@ -261,9 +260,8 @@ class GaussianDensity(_AnalyticEquilibrium):
         return self.electron_temperature(pos)
 
     def magnetic_field(self, pos):
-        zero = jnp.zeros((), dtype=jnp.result_type(pos))
-        one = jnp.ones((), dtype=jnp.result_type(pos))
-        return jnp.stack([one, zero, zero])
+        zero = jnp.zeros_like(pos[0])
+        return jnp.stack([zero + 1.0, zero, zero])
 
     def characteristic_field(self):
         return 1.0

@@ -48,38 +48,50 @@ def initialize_gamma(state: ParticleState) -> ParticleState:
 
 
 def make_boris_step(eq, b0, dt: float, larmor_radius: float):
-    """One Boris step (xkorc.cpp:87-118), jittable and vmapped.
+    """One Boris step (xkorc.cpp:87-118), jittable and BATCHED.
 
     ``b0``: normalizing field (equilibrium characteristic field);
     ``larmor_radius``: c me/(q b0) in meters (xkorc.cpp:37-40).
+
+    The rotation algebra is written out componentwise on (num_particles,)
+    arrays: a vmapped 3-vector formulation materializes (N, 3)
+    intermediates whose 3-wide trailing axis uses 3 of the 128 VPU lanes -
+    measured 9x slower (125 ms vs 13.9 ms per 1e8-particle step on a
+    v5e).  Componentwise, the step runs at the HBM bandwidth floor.
     """
 
-    def step_one(x, y, z, ux, uy, uz, gamma):
-        pos = jnp.stack([x, y, z])
-        b = eq.magnetic_field(pos) / b0
-        u = jnp.stack([ux, uy, uz])
+    def step(st: ParticleState) -> ParticleState:
+        pos = jnp.stack([st.x, st.y, st.z])          # (3, N): lane-major
+        b = eq.magnetic_field(pos)
+        bx, by, bz = b[0] / b0, b[1] / b0, b[2] / b0
+        g = st.gamma
+        h = dt / (2.0 * g)
 
-        u_prime = u - dt * jnp.cross(u, b) / (2.0 * gamma)
-        tau = -0.5 * dt * b
-        tau_sq = jnp.dot(tau, tau)
-        speed_sq = jnp.dot(u_prime, u_prime)
+        # u' = u - h (u x b)
+        upx = st.ux - h * (st.uy * bz - st.uz * by)
+        upy = st.uy - h * (st.uz * bx - st.ux * bz)
+        upz = st.uz - h * (st.ux * by - st.uy * bx)
+
+        tx, ty, tz = -0.5 * dt * bx, -0.5 * dt * by, -0.5 * dt * bz
+        tau_sq = tx * tx + ty * ty + tz * tz
+        speed_sq = upx * upx + upy * upy + upz * upz
         sigma = 1.0 + speed_sq - tau_sq
-        ustar = jnp.dot(u_prime, tau)
+        ustar = upx * tx + upy * ty + upz * tz
         gamma_next = jnp.sqrt(0.5 * (
-            sigma + jnp.sqrt(sigma * sigma + 4.0 * (tau_sq
-                                                    + ustar * ustar))))
-        tvec = tau / gamma_next
-        s = 1.0 + jnp.dot(tvec, tvec)
-        updt = jnp.dot(u_prime, tvec)
-        u_next = (u_prime + updt * tvec + jnp.cross(u_prime, tvec)) / s
-        pos_next = pos + larmor_radius * dt * u_next / gamma_next
-        return (pos_next[0], pos_next[1], pos_next[2],
-                u_next[0], u_next[1], u_next[2], gamma_next)
+            sigma + jnp.sqrt(sigma * sigma
+                             + 4.0 * (tau_sq + ustar * ustar))))
+        inv_gn = 1.0 / gamma_next
+        tvx, tvy, tvz = tx * inv_gn, ty * inv_gn, tz * inv_gn
+        s = 1.0 + tvx * tvx + tvy * tvy + tvz * tvz
+        updt = upx * tvx + upy * tvy + upz * tvz
+        inv_s = 1.0 / s
+        unx = (upx + updt * tvx + (upy * tvz - upz * tvy)) * inv_s
+        uny = (upy + updt * tvy + (upz * tvx - upx * tvz)) * inv_s
+        unz = (upz + updt * tvz + (upx * tvy - upy * tvx)) * inv_s
 
-    vstep = jax.vmap(step_one)
-
-    def step(state: ParticleState) -> ParticleState:
-        return ParticleState(*vstep(*state))
+        f = larmor_radius * dt * inv_gn
+        return ParticleState(st.x + f * unx, st.y + f * uny,
+                             st.z + f * unz, unx, uny, unz, gamma_next)
 
     return step
 
