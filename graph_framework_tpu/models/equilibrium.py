@@ -105,15 +105,29 @@ class Equilibrium:
 
     def kvec(self, kcov, pos):
         """Physical wave vector from covariant components:
-        k = kx e^1 + ky e^2 + kz e^3 (dispersion.hpp:1387-1389)."""
+        k = kx e^1 + ky e^2 + kz e^3 (dispersion.hpp:1387-1389).
+
+        Batched polymorphic: ``kcov``/``pos`` are (3,) per point or
+        (3, num_rays); ``esup(pos)`` rows broadcast against the covariant
+        components, so k = sum_i k_i e^i works for both shapes."""
         if self.is_cartesian():
             return kcov        # identity basis: skip the 3x3 contraction
-        return kcov @ self.esup(pos)
+        esup = self.esup(pos)  # (3 basis, 3 comp[, rays])
+        return (kcov[0] * esup[0] + kcov[1] * esup[1]
+                + kcov[2] * esup[2])
 
     def is_cartesian(self) -> bool:
         """True when esup() is the identity everywhere - lets the ray
         equations skip the metric correction term."""
         return True
+
+    def supports_batched(self) -> bool:
+        """True when the field/basis methods are batched-polymorphic
+        (accept (3, num_rays) positions as well as (3,)), enabling the
+        lane-major ensemble paths in models/rays.py.  Cartesian equilibria
+        qualify by construction; non-cartesian subclasses with polymorphic
+        geometry (VMEC) override this."""
+        return self.is_cartesian()
 
     def to_xyz(self, pos):
         """Map the equilibrium's coordinates to cartesian x, y, z

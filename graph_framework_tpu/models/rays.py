@@ -131,10 +131,13 @@ def make_ray_rhs(dispersion: Callable, eq, *, holomorphic=None,
     grad-of-sum the per-ray gradient, as in ops.newton._elementwise_grad).
     A vmapped per-ray formulation materializes (num_rays, 3) intermediates
     whose 3-wide trailing axis wastes 125 of 128 VPU lanes (measured 9x on
-    the Boris pusher).  Non-cartesian equilibria (VMEC: per-point basis
-    algebra) keep the vmapped path.
+    the Boris pusher).  The equilibrium stack is batched-polymorphic
+    (component axis leading), so this applies to EFIT and VMEC alike; only
+    ``reference_correction`` on a non-cartesian equilibrium falls back to
+    the per-ray vmapped path.
     """
-    if eq.is_cartesian():
+    batched_ok = getattr(eq, "supports_batched", eq.is_cartesian)()
+    if batched_ok and not (reference_correction and not eq.is_cartesian()):
         def rhs_batched(state: RayState) -> RayDerivatives:
             holo = holomorphic
             if holo is None:
@@ -144,7 +147,8 @@ def make_ray_rhs(dispersion: Callable, eq, *, holomorphic=None,
 
             def F(w, x, y, z, kx, ky, kz):
                 pos = jnp.stack([x, y, z])
-                kvec = jnp.stack([kx, ky, kz])   # identity basis
+                kcov = jnp.stack([kx, ky, kz])
+                kvec = eq.kvec(kcov, pos)
                 return jnp.sum(dispersion(w, kvec, pos, t, eq))
 
             dw, dx, dy, dz, dkx, dky, dkz = jax.grad(
@@ -199,7 +203,8 @@ def residual_fn(dispersion: Callable, eq):
     """Vectorized D^2 residual of a RayState (solver residual output,
     solver.hpp:331)."""
     d_one = dispersion_residual(dispersion, eq)
-    vd = d_one if eq.is_cartesian() else jax.vmap(d_one)
+    vd = d_one if getattr(eq, "supports_batched", eq.is_cartesian)() \
+        else jax.vmap(d_one)
 
     def residual(state: RayState):
         d = vd(state.t, state.w, state.x, state.y, state.z,

@@ -48,6 +48,7 @@ def _spline_modes(coeffs, s, scale, offset, local):
     # multi-trailing-dim gathers lower to a slow TPU path)
     block = coeffs.reshape(ns, 4 * m)[idx].reshape(
         jnp.shape(idx) + (4, m))                 # (..., 4, num_modes)
+    u = u[..., None] if jnp.ndim(u) else u       # broadcast over modes
     return (block[..., 0, :] + u * (block[..., 1, :]
             + u * (block[..., 2, :] + u * block[..., 3, :])))
 
@@ -86,6 +87,9 @@ class VmecEquilibrium(Equilibrium):
     def is_cartesian(self):
         return False
 
+    def supports_batched(self):
+        return True       # geometry is batched-polymorphic (see _geometry)
+
     # -- Fourier geometry --------------------------------------------------
     def _rzl(self, s, u, v):
         """R, Z, lambda at a flux-space point (equilibrium.hpp:2083-2121)."""
@@ -95,9 +99,12 @@ class VmecEquilibrium(Equilibrium):
                            self.cell_local)
         lm = _spline_modes(self.lmns_coeffs, s, self.ds, self.sminh,
                            self.cell_local)
-        angle = self.xm * u - self.xn * v
+        angle = (self.xm * u[..., None] if jnp.ndim(u)
+                 else self.xm * u) - (self.xn * v[..., None]
+                                      if jnp.ndim(v) else self.xn * v)
         ca, sa = jnp.cos(angle), jnp.sin(angle)
-        return jnp.sum(rm * ca), jnp.sum(zm * sa), jnp.sum(lm * sa)
+        return (jnp.sum(rm * ca, axis=-1), jnp.sum(zm * sa, axis=-1),
+                jnp.sum(lm * sa, axis=-1))
 
     def chi(self, s):
         """Poloidal flux spline chi(s).
@@ -129,34 +136,59 @@ class VmecEquilibrium(Equilibrium):
     def _geometry(self, pos):
         """Covariant/contravariant bases, Jacobian, B at (s, u, v).
 
-        Mirrors set_cache (equilibrium.hpp:2073-2141) with jacfwd supplying
-        dR/d(s,u,v), dZ/d(s,u,v), dl/d(s,u,v)."""
+        Mirrors set_cache (equilibrium.hpp:2073-2141) with a vmapped jvp
+        supplying dR/d(s,u,v), dZ/d(s,u,v), dl/d(s,u,v).  Batched
+        polymorphic: ``pos`` is (3,) per point or (3, num_rays), and all
+        vector algebra is componentwise with the component axis leading
+        (see models/rays.py for the measured lane-layout rationale)."""
         s, u, v = pos[0], pos[1], pos[2]
 
         (r, z, _l), (dr, dz, dl) = _rzl_and_jac(self, s, u, v)
 
         cv, sv = jnp.cos(v), jnp.sin(v)
+
         # rot(v) applied to (a, b, c): (a cv - b sv, a sv + b cv, c)
         def rot(a, b, c):
-            return jnp.stack([a * cv - b * sv, a * sv + b * cv, c])
+            return (a * cv - b * sv, a * sv + b * cv, c)
+
+        def cross(a, b):
+            return (a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0])
+
+        def dot(a, b):
+            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
         zero = jnp.zeros_like(r)
         esub_s = rot(dr[0], zero, dz[0])
         esub_u = rot(dr[1], zero, dz[1])
         esub_v = rot(dr[2], r, dz[2])
 
-        jac = jnp.dot(esub_s, jnp.cross(esub_u, esub_v))
+        cuv = cross(esub_u, esub_v)
+        jac = dot(esub_s, cuv)
+        inv_jac = 1.0 / jac
 
-        esup_s = jnp.cross(esub_u, esub_v) / jac
-        esup_u = jnp.cross(esub_v, esub_s) / jac
-        esup_v = jnp.cross(esub_s, esub_u) / jac
+        def scale(vec, f):
+            return jnp.stack([vec[0] * f, vec[1] * f, vec[2] * f])
+
+        esup_s = scale(cuv, inv_jac)
+        esup_u = scale(cross(esub_v, esub_s), inv_jac)
+        esup_v = scale(cross(esub_s, esub_u), inv_jac)
 
         phip = self.signj * self.dphi                     # d(phi)/ds
-        dchi_ds = jax.grad(self.chi,
+
+        # grad-of-sum = elementwise derivative (chi is elementwise in s)
+        def chi_sum(s_):
+            return jnp.sum(self.chi(s_))
+        dchi_ds = jax.grad(chi_sum,
                            holomorphic=jnp.iscomplexobj(s))(s)
-        jbsupu = dchi_ds - phip * dl[2]
-        jbsupv = phip * (1.0 + dl[1])
-        bvec = (jbsupu * esub_u + jbsupv * esub_v) / jac
+
+        jbsupu = (dchi_ds - phip * dl[2]) * inv_jac
+        jbsupv = phip * (1.0 + dl[1]) * inv_jac
+        bvec = jnp.stack([
+            jbsupu * esub_u[0] + jbsupv * esub_v[0],
+            jbsupu * esub_u[1] + jbsupv * esub_v[1],
+            jbsupu * esub_u[2] + jbsupv * esub_v[2]])
 
         return dict(r=r, z=z, esup=jnp.stack([esup_s, esup_u, esup_v]),
                     bvec=bvec, jac=jac)
@@ -203,17 +235,20 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
         r, z, l = eq._rzl(coords[0], coords[1], coords[2])
         return jnp.stack([r, z, l])
 
-    coords = jnp.stack([s, u, v])
+    coords = jnp.stack([s, u, v])        # (3,) or (3, num_rays)
     # one vmapped jvp over the 3 coordinate tangents gives primal AND
     # Jacobian in a single pass (jacfwd discards its primal, which would
     # cost an extra Fourier/spline evaluation here).  Works for complex
     # coordinates too (the series is polynomial/trig, so the tangent is
     # the analytic continuation, matching the reference's symbolic df).
-    tangents = jnp.eye(3, dtype=coords.dtype)
+    eye = jnp.eye(3, dtype=coords.dtype)
+    tangents = (eye if coords.ndim == 1
+                else jnp.broadcast_to(eye[..., None],
+                                      (3,) + coords.shape))
     vals3, jac_t = jax.vmap(
         lambda t: jax.jvp(f, (coords,), (t,)))(tangents)
     vals = vals3[0]                       # primal, identical across tangents
-    jac = jnp.swapaxes(jac_t, 0, 1)       # (3 outputs, 3 coords)
+    jac = jnp.swapaxes(jac_t, 0, 1)       # (3 outputs, 3 coords[, rays])
     return (vals[0], vals[1], vals[2]), (jac[0], jac[1], jac[2])
 
 

@@ -48,7 +48,8 @@ def init_k(state: RayState, dispersion, eq, which: str = "kx", *,
     if holomorphic is None:
         holomorphic = jnp.iscomplexobj(state.w)
     d_one = dispersion_residual(dispersion, eq)
-    vd = d_one if eq.is_cartesian() else jax.vmap(d_one)
+    vd = d_one if getattr(eq, "supports_batched", eq.is_cartesian)() \
+        else jax.vmap(d_one)
 
     others = {f: getattr(state, f) for f in state._fields if f != which}
 
