@@ -223,7 +223,7 @@ def hot_plasma_split(w, kvec_c, pos, t, eq):
     from graph_framework_tpu.ops.cplx import Cplx, z_plasma_split
 
     b = eq.magnetic_field(pos)
-    b_len = jnp.sqrt(jnp.sum(b * b))
+    b_len = jnp.sqrt(jnp.sum(b * b, axis=0))
     bhat = b / b_len
     ne = eq.electron_density(pos)
     te = eq.electron_temperature(pos)
@@ -274,22 +274,38 @@ def make_root_finder_split(eq, *, tolerance=1.0e-12, max_iterations=200):
     from graph_framework_tpu.ops.cplx import Cplx
 
     def update(state: RayState):
-        pos = jnp.stack([state.x, state.y, state.z], axis=-1)
-        kcov = jnp.stack([state.kx, state.ky, state.kz], axis=-1)
-        esup = jax.vmap(eq.esup)(pos)
-        kvec = jnp.einsum("ri,rij->rj", kcov, esup)
-        klen = jnp.sqrt(jnp.sum(kvec * kvec, axis=-1))
-        khat = kvec / klen[..., None]
+        if getattr(eq, "supports_batched", eq.is_cartesian)():
+            # lane-major ensemble: vectors (3, N), hot_plasma_split is
+            # already componentwise (see models/rays.py for rationale)
+            pos = jnp.stack([state.x, state.y, state.z])
+            kcov = jnp.stack([state.kx, state.ky, state.kz])
+            kvec = eq.kvec(kcov, pos)
+            klen = jnp.sqrt(jnp.sum(kvec * kvec, axis=0))
+            khat = kvec / klen
 
-        def d_split(a_re, a_im):
-            """D_hot with the shift kamp = a_re + i a_im, per ray."""
-            def one(are, aim, kv, kh, p, w, t):
-                kc = tuple(
-                    Cplx(kv[i] + are * kh[i], aim * kh[i]) for i in range(3))
-                d = hot_plasma_split(w, kc, p, t, eq)
+            def d_split(a_re, a_im):
+                kc = tuple(Cplx(kvec[i] + a_re * khat[i],
+                                a_im * khat[i]) for i in range(3))
+                d = hot_plasma_split(state.w, kc, pos, state.t, eq)
                 return d.re, d.im
-            return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0))(
-                a_re, a_im, kvec, khat, pos, state.w, state.t)
+        else:
+            pos = jnp.stack([state.x, state.y, state.z], axis=-1)
+            kcov = jnp.stack([state.kx, state.ky, state.kz], axis=-1)
+            esup = jax.vmap(eq.esup)(pos)
+            kvec = jnp.einsum("ri,rij->rj", kcov, esup)
+            klen = jnp.sqrt(jnp.sum(kvec * kvec, axis=-1))
+            khat = kvec / klen[..., None]
+
+            def d_split(a_re, a_im):
+                """D_hot with the shift kamp = a_re + i a_im, per ray."""
+                def one(are, aim, kv, kh, p, w, t):
+                    kc = tuple(
+                        Cplx(kv[i] + are * kh[i], aim * kh[i])
+                        for i in range(3))
+                    d = hot_plasma_split(w, kc, p, t, eq)
+                    return d.re, d.im
+                return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0))(
+                    a_re, a_im, kvec, khat, pos, state.w, state.t)
 
         def body(carry, _):
             a_re, a_im = carry

@@ -35,7 +35,8 @@ def adaptive_rk4_step(dispersion: Callable, eq, rhs, state: RayState, dt,
     array carried between calls by the caller.
     """
     d_one = dispersion_residual(dispersion, eq)
-    vd = jax.vmap(d_one)
+    vd = d_one if getattr(eq, "supports_batched", eq.is_cartesian)() \
+        else jax.vmap(d_one)
 
     dt0 = jnp.broadcast_to(jnp.asarray(dt, dtype=state.t.dtype),
                            state.t.shape)
