@@ -9,9 +9,13 @@ but legacy embedders (the C and Fortran bindings) speak this API, so this
 module provides a thin expression tree whose
 
 * ``evaluate()`` runs through jax.numpy (jitted per workflow),
-* ``df()`` applies textbook derivative rules producing new expression nodes
-  (the capability of node.hpp's symbolic autodiff without its 5kLoC rewrite
-  engine - algebraic simplification is XLA's job now),
+* ``df()`` applies textbook derivative rules producing new expression nodes,
+* factory functions (``add/sub/mul/div/fma_/...`` - also reached through
+  operator sugar) apply the numerically load-bearing subset of the
+  reference's ``reduce()`` rewrite system at construction time (constant
+  folding, identity elimination, fma formation, exponent gathering,
+  exp/log inverses; arithmetic.hpp:132-3736, math.hpp) so repeated ``df``
+  stays compact; the deep kernel-level simplification is XLA's job now,
 * ``Workflow`` mirrors manager/work_item/converge_item semantics
   (workflow.hpp:215-425): ordered items, setter maps applied as a batch,
   convergence loops on a max-reduced residual.
@@ -69,36 +73,39 @@ class Expr(metaclass=_InternMeta):
     def __init__(self):
         self.id = next(Expr._ids)
 
-    # -- operator sugar (matches the C API's graph_add/sub/mul/div) -------
+    # -- operator sugar (matches the C API's graph_add/sub/mul/div);
+    # routed through the reducing factories so graphs simplify as they
+    # are built, like the reference's factory functions (node.hpp
+    # constant()/add()/... each call reduce()).
     def __add__(self, o):
-        return Add(self, as_expr(o))
+        return add(self, o)
 
     def __radd__(self, o):
-        return Add(as_expr(o), self)
+        return add(o, self)
 
     def __sub__(self, o):
-        return Sub(self, as_expr(o))
+        return sub(self, o)
 
     def __rsub__(self, o):
-        return Sub(as_expr(o), self)
+        return sub(o, self)
 
     def __mul__(self, o):
-        return Mul(self, as_expr(o))
+        return mul(self, o)
 
     def __rmul__(self, o):
-        return Mul(as_expr(o), self)
+        return mul(o, self)
 
     def __truediv__(self, o):
-        return Div(self, as_expr(o))
+        return div(self, o)
 
     def __rtruediv__(self, o):
-        return Div(as_expr(o), self)
+        return div(o, self)
 
     def __neg__(self):
-        return Mul(Constant(-1.0), self)
+        return mul(Constant(-1.0), self)
 
     def __pow__(self, o):
-        return Pow(self, as_expr(o))
+        return pow_(self, o)
 
     # -- interface ---------------------------------------------------------
     def children(self) -> Tuple["Expr", ...]:
@@ -149,6 +156,20 @@ class Expr(metaclass=_InternMeta):
         if subs == self.children():
             return self
         return self._rebuild(subs)
+
+    def reduce(self) -> "Expr":
+        """Bottom-up algebraic simplification (leaf_node::reduce).
+
+        Graphs built through the factories/operators are already reduced
+        as constructed; this re-runs the rules over a whole tree (useful
+        after ``remove_pseudo`` or for hand-assembled nodes)."""
+        ch = tuple(c.reduce() for c in self.children())
+        fac = _REDUCE_FACTORIES.get(type(self))
+        if fac is not None:
+            return fac(*ch)
+        if ch == self.children():
+            return self
+        return self._rebuild(ch)
 
     def _rebuild(self, children):
         clone = type(self).__new__(type(self))
@@ -368,8 +389,8 @@ class Fma(Expr):
         return rec(self.a) * rec(self.b) + rec(self.c)
 
     def df(self, var):
-        return Fma(self.a.df(var), self.b,
-                   Fma(self.a, self.b.df(var), self.c.df(var)))
+        return fma_(self.a.df(var), self.b,
+                    fma_(self.a, self.b.df(var), self.c.df(var)))
 
     def to_latex(self):
         return (f"\\left({self.a.to_latex()} {self.b.to_latex()}"
@@ -464,10 +485,10 @@ class Pow(_Binary):
     def df(self, var):
         # general rule a^b (b constant in practice; math.hpp pow_node)
         if isinstance(self.b, Constant):
-            return (self.b * Pow(self.a, Constant(self.b.value - 1))
+            return (self.b * pow_(self.a, Constant(self.b.value - 1))
                     * self.a.df(var))
-        return Pow(self.a, self.b) * (
-            self.b.df(var) * Log(self.a) + self.b * self.a.df(var) / self.a)
+        return pow_(self.a, self.b) * (
+            self.b.df(var) * log(self.a) + self.b * self.a.df(var) / self.a)
 
 
 class Atan(_Binary):
@@ -712,24 +733,219 @@ def pseudo_variable(e):
     return PseudoVariable(e)
 
 
-sqrt, exp, log = Sqrt, Exp, Log
-sin, cos, atan = Sin, Cos, Atan
-pow_ = Pow
-fma = Fma
-erfi = Erfi
-random = Random
-piecewise_1D = Piecewise1D
-piecewise_2D = Piecewise2D
-index_1D = Index1D
-index_2D = Index2D
-
-
 def one():
     return Constant(1.0)
 
 
 def zero():
     return Constant(0.0)
+
+
+# ---------------------------------------------------------------------------
+# reducing factories: the numerically load-bearing subset of the
+# reference's reduce() rewrite system (arithmetic.hpp:132-3736,
+# math.hpp:26-1439), applied at construction time like the reference's
+# graph:: factory functions.  Rules involving structural identity
+# (a+a -> 2a, a-a -> 0, a*a -> a^2, a/a -> 1) are guarded against random
+# subtrees: two uses of a random stream are NOT the same value
+# (random_test.cpp graph-identity rules), while identity elimination
+# (r+0 -> r, r*1 -> r) is always safe.
+# ---------------------------------------------------------------------------
+
+def _has_random(e: Expr) -> bool:
+    flag = getattr(e, "_rand_flag", None)
+    if flag is None:
+        flag = isinstance(e, Random) or any(
+            _has_random(c) for c in e.children())
+        e._rand_flag = flag
+    return flag
+
+
+def _same(a: Expr, b: Expr) -> bool:
+    return (a is b or a.is_match(b)) and not _has_random(a)
+
+
+def _c(e):
+    """Constant payload or None."""
+    return e.value if isinstance(e, Constant) else None
+
+
+def add(a, b) -> Expr:
+    """a + b with reductions (add_node::reduce, arithmetic.hpp:132-870)."""
+    a, b = as_expr(a), as_expr(b)
+    va, vb = _c(a), _c(b)
+    if va is not None and vb is not None:
+        return Constant(va + vb)
+    if va is not None and a.is_(0):
+        return b
+    if vb is not None and b.is_(0):
+        return a
+    if _same(a, b):
+        return mul(Constant(2.0), a)
+    # fma formation: a*b + c -> fma(a, b, c) (arithmetic.hpp:271-277)
+    if isinstance(a, Mul):
+        return Fma(a.a, a.b, b)
+    if isinstance(b, Mul):
+        return Fma(b.a, b.b, a)
+    return Add(a, b)
+
+
+def sub(a, b) -> Expr:
+    """a - b with reductions (subtract_node::reduce,
+    arithmetic.hpp:879-1710)."""
+    a, b = as_expr(a), as_expr(b)
+    va, vb = _c(a), _c(b)
+    if va is not None and vb is not None:
+        return Constant(va - vb)
+    if vb is not None and b.is_(0):
+        return a
+    if va is not None and a.is_(0):
+        return mul(Constant(-1.0), b)
+    if _same(a, b):
+        return Constant(0.0)
+    return Sub(a, b)
+
+
+def mul(a, b) -> Expr:
+    """a * b with reductions (multiply_node::reduce,
+    arithmetic.hpp:1720-2760): folding, identities, constant-left
+    normalization, exponent gathering."""
+    a, b = as_expr(a), as_expr(b)
+    va, vb = _c(a), _c(b)
+    if va is not None and vb is not None:
+        return Constant(va * vb)
+    if (va is not None and a.is_(0)) or (vb is not None and b.is_(0)):
+        return Constant(0.0)
+    if va is not None and a.is_(1):
+        return b
+    if vb is not None and b.is_(1):
+        return a
+    if vb is not None and va is None:            # constants move left
+        a, b = b, a
+        va, vb = vb, va
+    if va is not None and isinstance(b, Mul) and isinstance(b.a, Constant):
+        return mul(Constant(va * b.a.value), b.b)
+    # exponent gathering: x*x -> x^2, x * x^c -> x^(c+1), x^c1 * x^c2
+    if _same(a, b):
+        return Pow(a, Constant(2.0))
+    if (isinstance(b, Pow) and isinstance(b.b, Constant)
+            and _same(a, b.a)):
+        return pow_(a, Constant(b.b.value + 1))
+    if (isinstance(a, Pow) and isinstance(a.b, Constant)
+            and _same(a.a, b)):
+        return pow_(b, Constant(a.b.value + 1))
+    if (isinstance(a, Pow) and isinstance(b, Pow)
+            and isinstance(a.b, Constant) and isinstance(b.b, Constant)
+            and _same(a.a, b.a)):
+        return pow_(a.a, Constant(a.b.value + b.b.value))
+    return Mul(a, b)
+
+
+def div(a, b) -> Expr:
+    """a / b with reductions (divide_node::reduce,
+    arithmetic.hpp:2769-3730)."""
+    a, b = as_expr(a), as_expr(b)
+    va, vb = _c(a), _c(b)
+    if va is not None and vb is not None and np.all(np.asarray(vb) != 0):
+        return Constant(va / vb)
+    if va is not None and a.is_(0):
+        return Constant(0.0)
+    if vb is not None and b.is_(1):
+        return a
+    if _same(a, b):
+        return Constant(1.0)
+    return Div(a, b)
+
+
+def fma_(a, b, c) -> Expr:
+    """fma(a, b, c) = a*b + c with reductions (fma_node::reduce,
+    arithmetic.hpp:3736+)."""
+    a, b, c = as_expr(a), as_expr(b), as_expr(c)
+    va, vb, vc = _c(a), _c(b), _c(c)
+    if va is not None and vb is not None:
+        return add(Constant(va * vb), c)
+    if (va is not None and a.is_(0)) or (vb is not None and b.is_(0)):
+        return c
+    if va is not None and a.is_(1):
+        return add(b, c)
+    if vb is not None and b.is_(1):
+        return add(a, c)
+    if vc is not None and c.is_(0):
+        return mul(a, b)
+    return Fma(a, b, c)
+
+
+def pow_(a, b) -> Expr:
+    """a ** b with reductions (pow_node::reduce, math.hpp:844-1439):
+    x^0 -> 1, x^1 -> x, constant folding, sqrt(x)^2 -> x, (x^a)^b."""
+    a, b = as_expr(a), as_expr(b)
+    vb = _c(b)
+    if vb is not None:
+        if b.is_(0):
+            return Constant(1.0)
+        if b.is_(1):
+            return a
+        va = _c(a)
+        if va is not None:
+            return Constant(va ** vb)
+        if isinstance(a, Sqrt) and b.is_(2):
+            return a.a
+        if isinstance(a, Pow) and isinstance(a.b, Constant):
+            return pow_(a.a, Constant(a.b.value * vb))
+    return Pow(a, b)
+
+
+def sqrt(a) -> Expr:
+    """sqrt with reductions (sqrt_node::reduce, math.hpp:26-330):
+    constant folding, sqrt(x^2) -> x (the reference's sqrt(x*x) rule -
+    x*x gathers to x^2 in mul)."""
+    a = as_expr(a)
+    va = _c(a)
+    if va is not None:
+        return Constant(np.sqrt(va))
+    if isinstance(a, Pow) and isinstance(a.b, Constant) and a.b.is_(2):
+        return a.a
+    return Sqrt(a)
+
+
+def exp(a) -> Expr:
+    """exp with reductions (exp_node::reduce, math.hpp:337-595):
+    constant folding, exp(log(x)) -> x."""
+    a = as_expr(a)
+    va = _c(a)
+    if va is not None:
+        return Constant(np.exp(va))
+    if isinstance(a, Log):
+        return a.a
+    return Exp(a)
+
+
+def log(a) -> Expr:
+    """log with reductions (log_node::reduce, math.hpp:602-840):
+    constant folding, log(exp(x)) -> x."""
+    a = as_expr(a)
+    va = _c(a)
+    if va is not None:
+        return Constant(np.log(va))
+    if isinstance(a, Exp):
+        return a.a
+    return Log(a)
+
+
+#: node-type -> reducing factory, for Expr.reduce()
+_REDUCE_FACTORIES = {
+    Add: add, Sub: sub, Mul: mul, Div: div, Fma: fma_, Pow: pow_,
+    Sqrt: sqrt, Exp: exp, Log: log,
+}
+
+fma = fma_
+sin, cos, atan = Sin, Cos, Atan
+erfi = Erfi
+random = Random
+piecewise_1D = Piecewise1D
+piecewise_2D = Piecewise2D
+index_1D = Index1D
+index_2D = Index2D
 
 
 # ---------------------------------------------------------------------------
