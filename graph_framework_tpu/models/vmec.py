@@ -53,6 +53,62 @@ def _spline_modes(coeffs, s, scale, offset, local):
             + u * (block[..., 2, :] + u * block[..., 3, :])))
 
 
+def _spline_modes_jet(coeffs, s, scale, offset, local):
+    """All per-mode radial splines AND their s-derivatives from one gather.
+
+    Same gather as :func:`_spline_modes`; the derivative is the Horner of
+    the analytically differentiated polynomial over the same block (the
+    mechanism of ops.spline.eval_bicubic_jet), so the radial tangent costs
+    no extra memory traffic.  Returns (value, d/ds), each (..., num_modes).
+    """
+    u = (s - offset) / scale
+    ns, _, m = coeffs.shape
+    idx = table_index_1d(s, scale, offset, ns)
+    if local:
+        u = u - idx.astype(u.dtype)
+    block = coeffs.reshape(ns, 4 * m)[idx].reshape(
+        jnp.shape(idx) + (4, m))
+    u = u[..., None] if jnp.ndim(u) else u
+    c0, c1 = block[..., 0, :], block[..., 1, :]
+    c2, c3 = block[..., 2, :], block[..., 3, :]
+    val = c0 + u * (c1 + u * (c2 + u * c3))
+    dval = (c1 + u * (2.0 * c2 + 3.0 * u * c3)) / scale
+    return val, dval
+
+
+def _mode_trig(xm, xn, u, v):
+    """cos/sin of every mode angle (xm u - xn v), direct per-mode form."""
+    angle = ((xm * u[..., None] if jnp.ndim(u) else xm * u)
+             - (xn * v[..., None] if jnp.ndim(v) else xn * v))
+    return jnp.cos(angle), jnp.sin(angle)
+
+
+def _grid_trig(xm_u, xn_u, u, v):
+    """cos/sin of every (unique-xm x unique-xn) grid angle via outer
+    products.
+
+    cos(a-b) = cos a cos b + sin a sin b over a = xm_i u, b = xn_j v: the
+    transcendentals are evaluated only at the UNIQUE poloidal and toroidal
+    mode numbers (vmec.nc: 86 modes but only 10 distinct xm and 9 distinct
+    xn), then combined for the whole (n_xm, n_xn) grid by outer-product
+    broadcasts - no per-mode gather, so reverse-mode AD transposes to
+    broadcasts/reductions instead of scatters (a static-index take here
+    measured 1.7x SLOWER end-to-end: its backward is a scatter-add).
+    Transcendental count per point drops from 2*num_modes to
+    2*(n_xm + n_xn).  Exact algebraic identity, holomorphic in u, v.
+
+    Returns (ca, sa), each (..., n_xm * n_xn), grid index g = i*n_xn + j.
+    """
+    au = u[..., None] * xm_u if jnp.ndim(u) else u * xm_u   # (..., n_xm)
+    bv = v[..., None] * xn_u if jnp.ndim(v) else v * xn_u   # (..., n_xn)
+    cm, sm = jnp.cos(au), jnp.sin(au)
+    cn, sn = jnp.cos(bv), jnp.sin(bv)
+    ca = cm[..., :, None] * cn[..., None, :] + sm[..., :, None] * sn[..., None, :]
+    sa = sm[..., :, None] * cn[..., None, :] - cm[..., :, None] * sn[..., None, :]
+    shape = ca.shape[:-2] + (ca.shape[-2] * ca.shape[-1],)
+    return ca.reshape(shape), sa.reshape(shape)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class VmecEquilibrium(Equilibrium):
@@ -74,6 +130,25 @@ class VmecEquilibrium(Equilibrium):
     # replicate the reference's double-normalized chi argument (see chi()).
     quirky_chi: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # mode-GRID metadata (built by make_vmec): the runtime path scatters
+    # the coefficient tables onto the dense (unique-xm x unique-xn) grid -
+    # 90 slots for vmec.nc's 86 modes - so the angle factors come from
+    # outer products of per-unique trig vectors (_grid_trig) instead of
+    # per-mode transcendentals.  The scatter runs on the (num_s, 4,
+    # num_modes) TABLE inside the trace (constant-folded by XLA when the
+    # tables are closure constants), keeping ``rmnc_coeffs`` etc. the
+    # single differentiable source of truth.
+    grid_scatter: jax.Array = None  # (num_modes,) int32 grid slot per mode
+    xm_unique: jax.Array = None     # (n_xm,)
+    xn_unique: jax.Array = None     # (n_xn,)
+    xm_grid: jax.Array = None       # (n_xm * n_xn,) grid mode numbers
+    xn_grid: jax.Array = None
+
+    def _grid_table(self, coeffs):
+        """Scatter a (num_s, 4, num_modes) table onto the dense mode grid."""
+        n_grid = self.xm_grid.shape[0]
+        out = jnp.zeros(coeffs.shape[:-1] + (n_grid,), coeffs.dtype)
+        return out.at[..., self.grid_scatter].set(coeffs)
 
     @property
     def ion_masses(self):
@@ -93,16 +168,22 @@ class VmecEquilibrium(Equilibrium):
     # -- Fourier geometry --------------------------------------------------
     def _rzl(self, s, u, v):
         """R, Z, lambda at a flux-space point (equilibrium.hpp:2083-2121)."""
-        rm = _spline_modes(self.rmnc_coeffs, s, self.ds, self.sminf,
-                           self.cell_local)
-        zm = _spline_modes(self.zmns_coeffs, s, self.ds, self.sminf,
-                           self.cell_local)
-        lm = _spline_modes(self.lmns_coeffs, s, self.ds, self.sminh,
-                           self.cell_local)
-        angle = (self.xm * u[..., None] if jnp.ndim(u)
-                 else self.xm * u) - (self.xn * v[..., None]
-                                      if jnp.ndim(v) else self.xn * v)
-        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        if self.grid_scatter is not None:
+            rm = _spline_modes(self._grid_table(self.rmnc_coeffs), s,
+                               self.ds, self.sminf, self.cell_local)
+            zm = _spline_modes(self._grid_table(self.zmns_coeffs), s,
+                               self.ds, self.sminf, self.cell_local)
+            lm = _spline_modes(self._grid_table(self.lmns_coeffs), s,
+                               self.ds, self.sminh, self.cell_local)
+            ca, sa = _grid_trig(self.xm_unique, self.xn_unique, u, v)
+        else:
+            rm = _spline_modes(self.rmnc_coeffs, s, self.ds, self.sminf,
+                               self.cell_local)
+            zm = _spline_modes(self.zmns_coeffs, s, self.ds, self.sminf,
+                               self.cell_local)
+            lm = _spline_modes(self.lmns_coeffs, s, self.ds, self.sminh,
+                               self.cell_local)
+            ca, sa = _mode_trig(self.xm, self.xn, u, v)
         return (jnp.sum(rm * ca, axis=-1), jnp.sum(zm * sa, axis=-1),
                 jnp.sum(lm * sa, axis=-1))
 
@@ -229,27 +310,61 @@ class VmecEquilibrium(Equilibrium):
 
 
 def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
-    """(R, Z, l) and their (s, u, v) derivatives in one jacfwd pass."""
+    """(R, Z, l) and their (s, u, v) derivatives in one analytic pass.
 
-    def f(coords):
-        r, z, l = eq._rzl(coords[0], coords[1], coords[2])
-        return jnp.stack([r, z, l])
+    The reference differentiates the Fourier-spline graphs symbolically
+    (equilibrium.hpp:1958-2018); here the full 3x3 Jacobian is written out
+    analytically so that ONE radial-block gather per table and ONE factored
+    trig evaluation (see :func:`_mode_trig`) serve the values and all nine
+    derivatives:
 
-    coords = jnp.stack([s, u, v])        # (3,) or (3, num_rays)
-    # one vmapped jvp over the 3 coordinate tangents gives primal AND
-    # Jacobian in a single pass (jacfwd discards its primal, which would
-    # cost an extra Fourier/spline evaluation here).  Works for complex
-    # coordinates too (the series is polynomial/trig, so the tangent is
-    # the analytic continuation, matching the reference's symbolic df).
-    eye = jnp.eye(3, dtype=coords.dtype)
-    tangents = (eye if coords.ndim == 1
-                else jnp.broadcast_to(eye[..., None],
-                                      (3,) + coords.shape))
-    vals3, jac_t = jax.vmap(
-        lambda t: jax.jvp(f, (coords,), (t,)))(tangents)
-    vals = vals3[0]                       # primal, identical across tangents
-    jac = jnp.swapaxes(jac_t, 0, 1)       # (3 outputs, 3 coords[, rays])
-    return (vals[0], vals[1], vals[2]), (jac[0], jac[1], jac[2])
+        dR/ds = sum rm' ca      dR/du = -sum xm rm sa   dR/dv = sum xn rm sa
+        dZ/ds = sum zm' sa      dZ/du =  sum xm zm ca   dZ/dv = -sum xn zm ca
+        (l identical in shape to Z)
+
+    This replaces a 3-tangent vmapped jvp whose tangents re-derived the
+    trig products per tangent; everything here is gathers + polynomials +
+    factored trig, so reverse-mode autodiff on top (the ray equations need
+    d/dx of the basis) stays exact and cheap.  Holomorphic for complex
+    coordinates (polynomials and trig are entire).
+
+    Returns ((R, Z, l), (dR, dZ, dl)) with each dX = (d/ds, d/du, d/dv).
+    """
+    if eq.grid_scatter is not None:
+        rm, rm_s = _spline_modes_jet(eq._grid_table(eq.rmnc_coeffs), s,
+                                     eq.ds, eq.sminf, eq.cell_local)
+        zm, zm_s = _spline_modes_jet(eq._grid_table(eq.zmns_coeffs), s,
+                                     eq.ds, eq.sminf, eq.cell_local)
+        lm, lm_s = _spline_modes_jet(eq._grid_table(eq.lmns_coeffs), s,
+                                     eq.ds, eq.sminh, eq.cell_local)
+        ca, sa = _grid_trig(eq.xm_unique, eq.xn_unique, u, v)
+        xm = eq.xm_grid.astype(ca.dtype)
+        xn = eq.xn_grid.astype(ca.dtype)
+    else:
+        rm, rm_s = _spline_modes_jet(eq.rmnc_coeffs, s, eq.ds, eq.sminf,
+                                     eq.cell_local)
+        zm, zm_s = _spline_modes_jet(eq.zmns_coeffs, s, eq.ds, eq.sminf,
+                                     eq.cell_local)
+        lm, lm_s = _spline_modes_jet(eq.lmns_coeffs, s, eq.ds, eq.sminh,
+                                     eq.cell_local)
+        ca, sa = _mode_trig(eq.xm, eq.xn, u, v)
+        xm = eq.xm.astype(ca.dtype)
+        xn = eq.xn.astype(ca.dtype)
+
+    rm_sa = rm * sa
+    zm_ca = zm * ca
+    lm_ca = lm * ca
+
+    def msum(t):
+        return jnp.sum(t, axis=-1)
+
+    r = msum(rm * ca)
+    z = msum(zm * sa)
+    l = msum(lm * sa)
+    dr = (msum(rm_s * ca), -msum(xm * rm_sa), msum(xn * rm_sa))
+    dz = (msum(zm_s * sa), msum(xm * zm_ca), -msum(xn * zm_ca))
+    dl = (msum(lm_s * sa), msum(xm * lm_ca), -msum(xn * lm_ca))
+    return (r, z, l), (dr, dz, dl)
 
 
 def make_vmec(path, dtype=jnp.float64, cell_local=True, quirky_chi=False):
@@ -293,7 +408,24 @@ def make_vmec(path, dtype=jnp.float64, cell_local=True, quirky_chi=False):
         zmns = np.ascontiguousarray(zmns.transpose(2, 0, 1))
         lmns = np.ascontiguousarray(lmns.transpose(2, 0, 1))
 
+        # mode-grid layout: scatter (num_modes,) coefficients onto the
+        # dense (n_xm, n_xn) grid so the runtime trig factors come from
+        # outer products (_grid_trig); missing combinations hold zeros.
+        xm_np, xn_np = arr("xm"), arr("xn")
+        xm_vals, iu = np.unique(xm_np, return_inverse=True)
+        xn_vals, jv = np.unique(xn_np, return_inverse=True)
+        n_xm, n_xn = len(xm_vals), len(xn_vals)
+        gidx = iu * n_xn + jv
+
+        xm_grid = np.repeat(xm_vals, n_xn)
+        xn_grid = np.tile(xn_vals, n_xm)
+
         return VmecEquilibrium(
+            grid_scatter=jnp.asarray(gidx, dtype=jnp.int32),
+            xm_unique=jnp.asarray(xm_vals, dtype=dtype),
+            xn_unique=jnp.asarray(xn_vals, dtype=dtype),
+            xm_grid=jnp.asarray(xm_grid, dtype=dtype),
+            xn_grid=jnp.asarray(xn_grid, dtype=dtype),
             chi_coeffs=jnp.asarray(chi, dtype=dtype),
             rmnc_coeffs=jnp.asarray(rmnc, dtype=dtype),
             zmns_coeffs=jnp.asarray(zmns, dtype=dtype),
