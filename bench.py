@@ -37,6 +37,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 EFIT_FILE = "/root/reference/graph_tests/efit.nc"
 VMEC_FILE = "/root/reference/graph_tests/vmec.nc"
 BENCH_EQ = os.environ.get("BENCH_EQ", "efit")     # efit | vmec (config 4)
+BENCH_MODE = os.environ.get("BENCH_MODE", "fwd")  # fwd | grad (fwd+bwd)
 NUM_RAYS = int(os.environ.get("BENCH_RAYS", 100_000))
 NUM_STEPS = int(os.environ.get("BENCH_STEPS", 100))   # recorded steps
 SUB_STEPS = int(os.environ.get("BENCH_SUB_STEPS", 10))
@@ -68,6 +69,9 @@ def main():
     jax.block_until_ready(state)
     t_init = time.perf_counter() - t0
 
+    if BENCH_MODE == "grad":
+        return run_grad(sol, state, t_init)
+
     # host loop dispatching the jitted 10-substep kernel: measured faster
     # than a scan-fused outer loop on this backend (1.81M vs 1.31M
     # ray-steps/s - the scan adds per-iteration carry copies), and async
@@ -97,6 +101,55 @@ def main():
     print(f"# init {t_init:.1f}s  first-step(compile) {t_compile:.1f}s  "
           f"steps {elapsed:.1f}s  final x[0] {float(state.x[0]):.4f}",
           file=sys.stderr)
+
+
+def run_grad(sol, state, t_init):
+    """Forward+backward bench: reverse-mode gradient of the trace endpoint
+    w.r.t. the full launch state (BASELINE.json north star: profile the
+    fused forward+backward step kernel per chip; config 5's reverse-mode
+    grads w.r.t. launch params).
+
+    Each recorded step (sub_steps integrator substeps) is wrapped in
+    jax.checkpoint so the backward pass rematerializes substates instead of
+    storing the NUM_STEPS x SUB_STEPS trajectory (HBM: saves one RayState
+    per recorded step only).
+    """
+    step = jax.checkpoint(sol.step_fn())
+
+    def loss(s0):
+        def body(s, _):
+            return step(s), None
+        out, _ = jax.lax.scan(body, s0, None, length=NUM_STEPS)
+        # endpoint functional: mean final position/wave-vector magnitude
+        return (jnp.sum(out.x) + jnp.sum(out.y) + jnp.sum(out.z)
+                + jnp.sum(out.kx)) / out.x.shape[0]
+
+    vg = jax.jit(jax.value_and_grad(loss))
+
+    t0 = time.perf_counter()
+    v, g = vg(state)
+    jax.block_until_ready(g)
+    t_compile = time.perf_counter() - t0
+
+    reps = max(1, int(os.environ.get("BENCH_GRAD_REPS", 3)))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        v, g = vg(state)
+    jax.block_until_ready(g)
+    elapsed = (time.perf_counter() - t0) / reps
+
+    ray_steps_per_s = NUM_RAYS * NUM_STEPS * SUB_STEPS / elapsed
+    print(json.dumps({
+        "metric": f"fwd+bwd ray-steps/s/chip (grad of endpoint w.r.t. "
+                  f"launch state, rk4+cold_plasma+{BENCH_EQ.upper()}, "
+                  f"{NUM_RAYS} rays f32)",
+        "value": round(ray_steps_per_s, 1),
+        "unit": "ray-steps/s",
+        "vs_baseline": round(ray_steps_per_s / BASELINE_RAY_STEPS_PER_S, 4),
+    }))
+    print(f"# init {t_init:.1f}s  compile {t_compile:.1f}s  "
+          f"fwd+bwd trace {elapsed:.2f}s  loss {float(v):.5f}  "
+          f"|dL/dkx0| {float(jnp.abs(g.kx).max()):.3e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
