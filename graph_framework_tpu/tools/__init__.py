@@ -7,7 +7,8 @@ writing the same file format that :func:`models.efit.make_efit` reads.
 """
 
 from graph_framework_tpu.tools.make_splines import (
-    cubic_spline_coeffs, bicubic_spline_coeffs, write_efit_file)
+    cubic_spline_coeffs, bicubic_spline_coeffs, write_efit_file,
+    write_vmec_file)
 
 __all__ = ["cubic_spline_coeffs", "bicubic_spline_coeffs",
-           "write_efit_file"]
+           "write_efit_file", "write_vmec_file"]

@@ -186,3 +186,60 @@ def write_efit_file(path, *, r, z, psi, psi_profile, ne, te, pressure,
             for k in range(4):
                 h.create_dataset(f"{name}_c{k}", data=tabs[k])
     return path
+
+
+def write_vmec_file(path, *, s_full, s_half, chi, rmnc, zmns, lmns,
+                    xm, xn, signj, dphi):
+    """Write a VMEC spline file in the reference's format
+    (make_vmec loader keys, equilibrium.hpp:2424-2651; replaces
+    utilities/VMECSplines.nb).
+
+    ``s_full``/``s_half``: uniform radial grids (full / half mesh);
+    ``chi``: poloidal-flux samples on the full grid; ``rmnc``/``zmns``:
+    (num_modes, ns_full) Fourier-coefficient samples on the full grid;
+    ``lmns``: (num_modes, ns_half) on the half grid; ``xm``/``xn``: mode
+    numbers; ``signj``: Jacobian sign; ``dphi``: toroidal flux derivative.
+    Radial cubic splines are fitted per mode (natural BC) and stored in the
+    global normalized coordinate, as :func:`models.vmec.make_vmec` expects.
+    """
+    import h5py
+
+    s_full = np.asarray(s_full, dtype=np.float64)
+    s_half = np.asarray(s_half, dtype=np.float64)
+
+    def uniform_step(g, name):
+        d = np.diff(g)
+        if not np.allclose(d, d[0], rtol=1e-10, atol=0.0):
+            raise ValueError(f"{name} grid must be uniform")
+        return float(d[0])
+
+    ds = uniform_step(s_full, "s_full")
+    dsh = uniform_step(s_half, "s_half")
+    if not np.isclose(ds, dsh, rtol=1e-10):
+        raise ValueError("full and half mesh must share the step ds")
+
+    def mode_tables(samples):
+        # (num_modes, ns) -> (4, num_modes, ncells): spline along s per mode
+        c = cubic_spline_coeffs(np.asarray(samples, dtype=np.float64).T)
+        return np.moveaxis(c, 2, 1)    # (4, ns-1, m) -> (4, m, ns-1)
+
+    with h5py.File(path, "w") as h:
+        def scalar(name, v):
+            h.create_dataset(name, data=np.float64(v))
+
+        scalar("signj", signj)
+        scalar("dphi", dphi)
+        scalar("sminf", s_full[0])
+        scalar("sminh", s_half[0])
+        scalar("ds", ds)
+        h.create_dataset("xm", data=np.asarray(xm, dtype=np.float64))
+        h.create_dataset("xn", data=np.asarray(xn, dtype=np.float64))
+        chi_tabs = cubic_spline_coeffs(np.asarray(chi, dtype=np.float64))
+        for k in range(4):
+            h.create_dataset(f"chi_c{k}", data=chi_tabs[k])
+        for name, samples in (("rmnc", rmnc), ("zmns", zmns),
+                              ("lmns", lmns)):
+            tabs = mode_tables(samples)
+            for k in range(4):
+                h.create_dataset(f"{name}_c{k}", data=tabs[k])
+    return path

@@ -88,3 +88,43 @@ def test_efit_file_roundtrip(tmp_path):
     fpol_here = np.interp(psi_here, pgrid, fpol)
     bphi_mag = np.abs(b[0] * (-np.sin(0.0)) + b[1] * np.cos(0.0))
     np.testing.assert_allclose(bphi_mag, fpol_here / rt, rtol=2e-3)
+
+
+def test_vmec_file_roundtrip(tmp_path):
+    from graph_framework_tpu.models.vmec import make_vmec
+    from graph_framework_tpu.tools import write_vmec_file
+
+    ns = 21
+    s_full = np.linspace(0.0, 1.0, ns)
+    ds = s_full[1] - s_full[0]
+    s_half = s_full - ds / 2.0
+    # linear-in-s mode profiles: natural cubic splines reproduce them
+    # exactly, so the roundtrip check is exact up to float64
+    xm = np.array([0.0, 1.0])
+    xn = np.array([0.0, 0.0])
+    rmnc = np.stack([np.full(ns, 3.0), 0.5 * s_full])
+    zmns = np.stack([np.zeros(ns), 0.4 * s_full])
+    lmns = np.stack([np.zeros(ns), 0.1 * s_half])
+    chi = 0.7 * s_full                           # linear flux profile
+
+    path = tmp_path / "gen_vmec.nc"
+    write_vmec_file(path, s_full=s_full, s_half=s_half, chi=chi,
+                    rmnc=rmnc, zmns=zmns, lmns=lmns, xm=xm, xn=xn,
+                    signj=-1.0, dphi=0.9)
+
+    eq = make_vmec(str(path))                    # production loader
+
+    s, u, v = 0.4, 0.9, 0.3
+    r, z, l = eq._rzl(jnp.asarray(s), jnp.asarray(u), jnp.asarray(v))
+    np.testing.assert_allclose(float(r), 3.0 + 0.5 * s * np.cos(u),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(z), 0.4 * s * np.sin(u), rtol=1e-12)
+    np.testing.assert_allclose(float(l), 0.1 * s * np.sin(u), rtol=1e-10)
+
+    pos = jnp.asarray([s, u, v])
+    b = np.asarray(eq.magnetic_field(pos))
+    assert np.all(np.isfinite(b))
+    # dchi/ds through the loaded spline equals the linear slope
+    np.testing.assert_allclose(
+        float(eq.chi(jnp.asarray(0.6))) - float(eq.chi(jnp.asarray(0.2))),
+        0.7 * 0.4, rtol=1e-10)
