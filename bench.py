@@ -114,7 +114,10 @@ def run_grad(sol, state, t_init):
     storing the NUM_STEPS x SUB_STEPS trajectory (HBM: saves one RayState
     per recorded step only).
     """
-    step = jax.checkpoint(sol.step_fn())
+    # prevent_cse=False: the checkpointed step sits inside lax.scan, where
+    # the CSE-defeating optimization barriers jax.checkpoint inserts by
+    # default are documented unnecessary - and they block XLA fusion.
+    step = jax.checkpoint(sol.step_fn(), prevent_cse=False)
 
     def loss(s0):
         def body(s, _):
