@@ -71,6 +71,8 @@ def main():
 
     if BENCH_MODE == "grad":
         return run_grad(sol, state, t_init)
+    if BENCH_MODE == "absorption":
+        return run_absorption_bench(eq, state, t_init)
 
     # host loop dispatching the jitted 10-substep kernel: measured faster
     # than a scan-fused outer loop on this backend (1.81M vs 1.31M
@@ -100,6 +102,49 @@ def main():
     }))
     print(f"# init {t_init:.1f}s  first-step(compile) {t_compile:.1f}s  "
           f"steps {elapsed:.1f}s  final x[0] {float(state.x[0]):.4f}",
+          file=sys.stderr)
+
+
+def run_absorption_bench(eq, state, t_init):
+    """Absorption-phase throughput: the split-complex weak-damping kamp
+    update (phase 2 of xrays; absorption.hpp:328-484) over the ray
+    ensemble, per saved time slice.  Complex-free on TPU by construction
+    (models/absorption.make_weak_damping_split)."""
+    from graph_framework_tpu.models.absorption import (
+        make_weak_damping_split)
+
+    update = jax.jit(make_weak_damping_split(eq))
+
+    # representative damping-region state: inside the plasma (te > 0 so
+    # the thermal speed is finite) with a parallel wave-number component
+    # (zeta finite).  The launch state sits in the vacuum edge, where weak
+    # damping is identically NaN-guarded in the real pipeline.
+    state = state._replace(
+        x=jnp.full_like(state.x, 2.0),
+        kz=jnp.full_like(state.kz, 50.0))
+
+    t0 = time.perf_counter()
+    re, im = update(state)
+    jax.block_until_ready((re, im))
+    t_compile = time.perf_counter() - t0
+
+    slices = max(10, NUM_STEPS)
+    t0 = time.perf_counter()
+    for _ in range(slices):
+        re, im = update(state)
+    jax.block_until_ready((re, im))
+    elapsed = time.perf_counter() - t0
+
+    updates_per_s = NUM_RAYS * slices / elapsed
+    print(json.dumps({
+        "metric": f"kamp updates/s/chip (split-complex weak damping, "
+                  f"{BENCH_EQ.upper()}, {NUM_RAYS} rays f32)",
+        "value": round(updates_per_s, 1),
+        "unit": "ray-slices/s",
+        "vs_baseline": round(updates_per_s / BASELINE_RAY_STEPS_PER_S, 4),
+    }))
+    print(f"# init {t_init:.1f}s  compile {t_compile:.1f}s  "
+          f"{slices} slices {elapsed:.2f}s  kamp_im[0] {float(im[0]):.3e}",
           file=sys.stderr)
 
 

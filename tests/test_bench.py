@@ -55,3 +55,9 @@ def test_bench_forward_contract():
 def test_bench_grad_contract():
     rec = _run({"BENCH_MODE": "grad"})
     assert rec["metric"].startswith("fwd+bwd")
+
+
+def test_bench_absorption_contract():
+    rec = _run({"BENCH_MODE": "absorption"})
+    assert rec["metric"].startswith("kamp updates")
+    assert rec["unit"] == "ray-slices/s"
