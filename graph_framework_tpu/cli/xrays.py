@@ -69,6 +69,10 @@ def build_parser():
     p.add_argument("--x64", action="store_true", default=True)
     p.add_argument("--f32", dest="x64", action="store_false")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="checkify float checks on the hot kernels: the "
+                        "first NaN/inf raises a located error (the "
+                        "sanitizer-build equivalent, CMakeLists.txt:104-130)")
     return p
 
 
@@ -110,6 +114,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    if args.debug:
+        from graph_framework_tpu.utils import set_debug
+        set_debug(True)
     import jax.numpy as jnp
 
     from graph_framework_tpu.models import dispersion as disp

@@ -1,12 +1,26 @@
-"""Result files: time-series of per-ray variables, with async writes.
+"""Result files: time-series of per-ray variables, in true NetCDF4 format.
 
 TPU-native counterpart of ``output::result_file``/``data_set`` and the
 double-buffered writer thread (reference: graph_framework/output.hpp:32-472,
 solver.hpp:418-424).  The reference writes NetCDF with dimensions
 (time=unlimited, num_rays, ray_dim) where ray_dim=2 holds re/im for complex
-scalars; we write the same layout in NetCDF4's underlying HDF5 container
-via h5py (datasets resizable along time, complex stored as a trailing
-re/im axis), so files interoperate with any NetCDF4/HDF5 reader.
+scalars (output.hpp:61-64, 175-177, 221-231); we write the same layout.
+
+NetCDF4 **is** an HDF5 profile, so the files here are produced with h5py
+but follow the netcdf-c on-disk conventions exactly, making them openable
+by the netCDF4 library, ncdump, xarray, and the reference's own
+utilities/bin.py workflow:
+
+  * every dimension is an HDF5 *dimension scale* dataset carrying
+    ``CLASS="DIMENSION_SCALE"``, the netcdf-c phantom ``NAME`` string for
+    dims without coordinate variables, and a ``_Netcdf4Dimid`` attribute
+    (netcdf-c libhdf5/nc4hdf.c conventions);
+  * every variable attaches the scales of all its dimensions
+    (``DIMENSION_LIST``/``REFERENCE_LIST`` references);
+  * a variable sharing its name with a dimension without being a 1D
+    coordinate variable (the reference's 2D ``time(time, num_rays)``) is
+    stored under netcdf-c's ``_nc4_non_coord_`` mangled dataset name;
+  * the root group carries ``_NCProperties``.
 
 The async writer mirrors the reference's overlap of NetCDF writes with
 device compute: ``write_step`` hands the device arrays to a worker thread;
@@ -23,6 +37,17 @@ from typing import Dict, Optional, Sequence
 import h5py
 import numpy as np
 
+# netcdf-c naming conventions (netcdf-c include/nc4internal.h)
+_NON_COORD = "_nc4_non_coord_"
+_DIM_WITHOUT_VARIABLE = \
+    "This is a netCDF dimension but not a netCDF variable."
+_NC_PROPERTIES = "version=2,netcdf=4.9.2,hdf5=1.14.3"
+
+
+def _nc_str(s: str) -> np.bytes_:
+    """Fixed-length ASCII attribute payload (netcdf-c writes H5T_C_S1)."""
+    return np.bytes_(s.encode("ascii"))
+
 
 class ResultFile:
     """A time-series result file (output.hpp:32-158).
@@ -34,30 +59,105 @@ class ResultFile:
     def __init__(self, path, num_rays: Optional[int] = None, mode="w"):
         self.path = str(path)
         self._h = h5py.File(self.path, mode)
+        if mode == "w":
+            self._h.attrs["_NCProperties"] = _nc_str(_NC_PROPERTIES)
         if num_rays is None:
             num_rays = int(self._h.attrs.get("num_rays", 0)) or None
+            if num_rays is None and "num_rays" in self._h:
+                num_rays = self._h["num_rays"].shape[0]
             if num_rays is None:
                 for ds in self._h.values():
-                    num_rays = ds.shape[1]
-                    break
+                    if not self._is_dim(ds):
+                        num_rays = ds.shape[1]
+                        break
         else:
             self._h.attrs["num_rays"] = num_rays
         self.num_rays = num_rays
         self._lock = threading.Lock()
+        if mode == "w":
+            if num_rays is None:
+                raise ValueError("num_rays is required to create a file "
+                                 "(result_file ctor, output.hpp:48-64)")
+            # dims "time" (unlimited) and "num_rays" (output.hpp:61-64)
+            self._def_dim("time", 0, unlimited=True, dimid=0)
+            self._def_dim("num_rays", num_rays, dimid=1)
+
+    # -- netCDF4 dimension machinery ---------------------------------------
+    @staticmethod
+    def _is_dim(ds) -> bool:
+        return ds.attrs.get("CLASS", b"") == b"DIMENSION_SCALE"
+
+    def _def_dim(self, name: str, size: int, *, unlimited=False,
+                 dimid: int):
+        """Create a netcdf-c style dimension-without-variable scale."""
+        if name in self._h:
+            return self._h[name]
+        ds = self._h.create_dataset(
+            name, shape=(size,), maxshape=(None,) if unlimited else (size,),
+            dtype="f4")
+        # netcdf-c registers the scale through H5DSset_scale with the
+        # phantom string as the scale NAME: sprintf("%s%10d",
+        # DIM_WITHOUT_VARIABLE, (int)len) - len is the CREATION length
+        # (0 for unlimited).  h5py's make_scale is the same H5DS call.
+        ds.make_scale(f"{_DIM_WITHOUT_VARIABLE}{size:10d}")
+        ds.attrs["_Netcdf4Dimid"] = np.int32(dimid)
+        return ds
+
+    def _ray_dim(self):
+        """The complex re/im dimension, created on first complex variable
+        (output.hpp:221-231 defines it lazily per complex type)."""
+        if "ray_dim" not in self._h:
+            self._def_dim("ray_dim", 2, dimid=len(self._dims()))
+        return self._h["ray_dim"]
+
+    def _dims(self):
+        return [n for n, ds in self._h.items() if self._is_dim(ds)]
+
+    def _dataset_name(self, name: str) -> str:
+        """Variables named like a dimension are not 1D coordinate
+        variables here (e.g. 2D time(time, num_rays)), so netcdf-c's
+        mangled non-coordinate name applies."""
+        mangled = _NON_COORD + name
+        if mangled in self._h:
+            return mangled
+        if name in self._h and not self._is_dim(self._h[name]):
+            return name
+        if name in self._dims():
+            return mangled
+        return name
 
     # -- define mode -------------------------------------------------------
     def create_variable(self, name: str, complex_valued=False):
         """(data_set::create_variable, output.hpp:260-273): a resizable
-        (time, num_rays[, 2]) dataset."""
-        if name in self._h:
+        (time, num_rays[, ray_dim]) netCDF4 variable."""
+        dsname = self._dataset_name(name)
+        if dsname in self._h:
             return
         shape = (0, self.num_rays) + ((2,) if complex_valued else ())
         maxshape = (None,) + shape[1:]
-        self._h.create_dataset(name, shape=shape, maxshape=maxshape,
-                               dtype="f8", chunks=(1,) + shape[1:])
+        ds = self._h.create_dataset(dsname, shape=shape, maxshape=maxshape,
+                                    dtype="f8", chunks=(1,) + shape[1:])
+        scales = [self._h["time"], self._h["num_rays"]]
+        if complex_valued:
+            scales.append(self._ray_dim())
+        for i, sc in enumerate(scales):
+            ds.dims[i].attach_scale(sc)
+        if dsname != name:
+            # netcdf-c does NOT add an attribute; the prefix is the marker.
+            pass
+        return ds
 
     def variables(self):
-        return list(self._h.keys())
+        out = []
+        for n, ds in self._h.items():
+            if self._is_dim(ds):
+                continue
+            out.append(n[len(_NON_COORD):] if n.startswith(_NON_COORD)
+                       else n)
+        return out
+
+    def _get(self, name: str):
+        return self._h[self._dataset_name(name)]
 
     # -- read/write --------------------------------------------------------
     def write_step(self, index: int, values: Dict[str, np.ndarray]):
@@ -65,13 +165,18 @@ class ResultFile:
         nc_put_vara, output.hpp:353-400)."""
         with self._lock:
             for name, val in values.items():
-                ds = self._h[name]
+                ds = self._get(name)
                 val = np.asarray(val)
                 if np.iscomplexobj(val):
                     val = np.stack([val.real, val.imag], axis=-1)
                 if ds.shape[0] <= index:
                     ds.resize(index + 1, axis=0)
                 ds[index] = val
+            # unlimited dims track the longest variable (netcdf-c keeps the
+            # scale dataset's extent in sync on write)
+            tdim = self._h["time"]
+            if tdim.shape[0] <= index:
+                tdim.resize(index + 1, axis=0)
             self._h.flush()
 
     def read_step(self, index: int, names: Sequence[str],
@@ -81,7 +186,7 @@ class ResultFile:
         out = {}
         with self._lock:
             for name in names:
-                a = np.asarray(self._h[name][index])
+                a = np.asarray(self._get(name)[index])
                 if a.ndim == 2 and a.shape[-1] == 2 and complex_valued:
                     a = a[..., 0] + 1j * a[..., 1]
                 out[name] = a
@@ -91,7 +196,8 @@ class ResultFile:
     def num_steps(self):
         # max over variables: freshly-appended variables (e.g. kamp before
         # the absorption pass fills it) still have zero rows.
-        sizes = [ds.shape[0] for ds in self._h.values()]
+        sizes = [ds.shape[0] for ds in self._h.values()
+                 if not self._is_dim(ds)]
         return max(sizes) if sizes else 0
 
     def close(self):

@@ -15,10 +15,22 @@ XLA lowers ``jnp.max`` to a cross-device collective automatically.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Sequence
+from typing import Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+
+
+class NewtonDiagnostics(NamedTuple):
+    """Telemetry of one Newton solve - the information the reference's
+    converge_item reports on non-convergence (workflow.hpp:184-204: it
+    prints the iteration count and the minimum residual reached).
+
+    Non-differentiable (zero cotangent through lax.custom_root's aux).
+    """
+    iterations: jax.Array     # int32 loop trips taken
+    residual: jax.Array       # final ensemble-max of |f|^2
+    converged: jax.Array      # residual <= tolerance
 
 
 def _abs2(v):
@@ -48,7 +60,9 @@ def newton_solve(f: Callable,
       |before_last - current| <= tol       (2-cycle oscillation)
       iterations >= max_iterations         (give up)
 
-    Returns ``(x, converged, iterations)``.
+    Returns ``(x, converged, diagnostics)`` with ``diagnostics`` a
+    :class:`NewtonDiagnostics` carrying the true iteration count and final
+    max residual (the converge_item's non-convergence report).
 
     Differentiability: the while loop itself is not reverse-differentiable,
     so the solve is wrapped in ``lax.custom_root`` - gradients of the root
@@ -84,7 +98,11 @@ def newton_solve(f: Callable,
         big = jnp.asarray(jnp.finfo(jnp.result_type(x_init.real)).max)
         x, _, _, it = jax.lax.while_loop(
             cond, body, (x_init, big, big, jnp.asarray(0, dtype=jnp.int32)))
-        return x
+        res = jnp.max(_abs2(f_inner(x)).real)
+        # aux must be inexact: custom_root's jvp machinery builds tangents
+        # for every aux leaf, and int32 leaves trip the float0 check when
+        # the solve sits under jax.grad.  Iterations ride as f32.
+        return x, (it.astype(jnp.float32), res)
 
     def tangent_solve(g, y):
         # g is linear (the pushforward of f at the root); elementwise
@@ -93,9 +111,15 @@ def newton_solve(f: Callable,
             jnp.zeros_like(y))
         return y / slope
 
-    x = jax.lax.custom_root(f, x0, iterate, tangent_solve)
-    it = jnp.asarray(0, dtype=jnp.int32)   # iteration count not exposed
-    return x, residual_max(x) <= tolerance, it
+    # has_aux routes the loop telemetry out of custom_root with zero
+    # cotangent - the root stays differentiable via the implicit function
+    # theorem, the diagnostics are metrics only.
+    x, (it, res) = jax.lax.custom_root(f, x0, iterate, tangent_solve,
+                                       has_aux=True)
+    it = jax.lax.stop_gradient(it).astype(jnp.int32)
+    res = jax.lax.stop_gradient(res)
+    converged = res <= tolerance
+    return x, converged, NewtonDiagnostics(it, res, converged)
 
 
 def newton_solve_multi(f: Callable,
@@ -115,7 +139,8 @@ def newton_solve_multi(f: Callable,
     loss minimization (solver.hpp:404-431) and the EFIT axis find
     (equilibrium.hpp:1584-1615).
 
-    ``f(*xs)`` returns the per-ray residual.  Returns ``(xs, converged, it)``.
+    ``f(*xs)`` returns the per-ray residual.  Returns
+    ``(xs, converged, diagnostics)``.
     """
     n = len(xs0)
     grads = [
@@ -147,7 +172,9 @@ def newton_solve_multi(f: Callable,
     big = jnp.asarray(jnp.finfo(jnp.result_type(xs0[0].real)).max)
     xs, _, _, it = jax.lax.while_loop(
         cond, body, (tuple(xs0), big, big, jnp.asarray(0, dtype=jnp.int32)))
-    return xs, residual_max(xs) <= tolerance, it
+    res = residual_max(xs)
+    converged = res <= tolerance
+    return xs, converged, NewtonDiagnostics(it, res, converged)
 
 
 def _elementwise_grad(f, argnums: int = 0, holomorphic: bool = False):

@@ -22,6 +22,7 @@ from graph_framework_tpu.models.rays import (
     RayState, make_ray_rhs, residual_fn, dispersion_residual)
 from graph_framework_tpu.ops.integrators import STEPPERS
 from graph_framework_tpu.ops.newton import newton_solve
+from graph_framework_tpu.utils import checked_jit
 
 
 def make_ray_state(num_rays=None, *, t=0.0, w, x=0.0, y=0.0, z=0.0,
@@ -38,12 +39,17 @@ def make_ray_state(num_rays=None, *, t=0.0, w, x=0.0, y=0.0, z=0.0,
 
 def init_k(state: RayState, dispersion, eq, which: str = "kx", *,
            tolerance: float = 1.0e-30, max_iterations: int = 1000,
-           holomorphic: Optional[bool] = None) -> RayState:
+           holomorphic: Optional[bool] = None,
+           return_diagnostics: bool = False):
     """Newton-solve D = 0 for one wave-number component per ray.
 
     Counterpart of ``solver_interface::init`` -> ``dispersion::solve`` ->
     ``solver::newton`` (solver.hpp:252-298, dispersion.hpp:1450-1475):
     iterate k <- k - D/dD/dk until the ensemble-max of D^2 converges.
+
+    ``return_diagnostics``: also return the NewtonDiagnostics (iteration
+    count, final max residual, converged flag) - the converge_item's
+    non-convergence report (workflow.hpp:184-204).
     """
     if holomorphic is None:
         holomorphic = jnp.iscomplexobj(state.w)
@@ -60,10 +66,13 @@ def init_k(state: RayState, dispersion, eq, which: str = "kx", *,
         return vd(s.t, s.w, s.x, s.y, s.z, s.kx, s.ky, s.kz)
 
     k0 = getattr(state, which)
-    k_solved, converged, _ = newton_solve(
+    k_solved, converged, diag = newton_solve(
         f, k0, tolerance=tolerance, max_iterations=max_iterations,
         holomorphic=holomorphic)
-    return state._replace(**{which: k_solved})
+    out = state._replace(**{which: k_solved})
+    if return_diagnostics:
+        return out, diag
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,51 +96,108 @@ class Solver:
             raise ValueError(f"unknown method {self.method!r}")
 
     # -- single recorded step (sub_steps integrator steps, jitted) --------
-    def step_fn(self):
+    def is_adaptive(self):
+        return self.method == "adaptive_rk4"
+
+    def init_carry(self, state: RayState):
+        """The integration carry: the RayState itself for fixed-dt methods,
+        an AdaptiveCarry holding persistent per-ray (dt, lambda) for
+        adaptive_rk4 (the reference's device variables,
+        solver.hpp:887-903)."""
+        if self.is_adaptive():
+            from graph_framework_tpu.ops.adaptive import init_adaptive_carry
+            return init_adaptive_carry(state, self.dt)
+        return state
+
+    @staticmethod
+    def carry_state(carry) -> RayState:
+        return carry.state if hasattr(carry, "state") else carry
+
+    def raw_step_fn(self):
+        """UNJITTED recorded step over the integration carry - the pure
+        function run/trace compose under their own jit.  Keep jit (or
+        checked_jit) at the outermost composition only: in debug mode the
+        checkify wrapper raises host-side and must not be re-traced."""
         rhs = make_ray_rhs(self.dispersion, self.eq,
                            holomorphic=self.holomorphic)
 
-        if self.method == "adaptive_rk4":
-            from graph_framework_tpu.ops.adaptive import adaptive_rk4_step
-            stepper = partial(adaptive_rk4_step, self.dispersion, self.eq)
-        else:
-            stepper = STEPPERS[self.method]
+        if self.is_adaptive():
+            from graph_framework_tpu.ops.adaptive import (
+                adaptive_rk4_carry_step)
 
-        dt = self.dt
+            def stepper(c):
+                return adaptive_rk4_carry_step(
+                    self.dispersion, self.eq, rhs, c)
+        else:
+            dt = self.dt
+
+            def stepper(s):
+                return STEPPERS[self.method](rhs, s, dt)
+
         sub = self.sub_steps
 
-        @jax.jit
-        def step(state: RayState) -> RayState:
+        def step(carry):
             # scan (not fori_loop) so whole traces stay reverse-mode
             # differentiable - gradients of endpoints/absorbed power w.r.t.
             # launch parameters flow through every sub-step.
-            def body(s, _):
-                return stepper(rhs, s, dt), None
-            out, _ = jax.lax.scan(body, state, None, length=sub)
+            def body(c, _):
+                return stepper(c), None
+            out, _ = jax.lax.scan(body, carry, None, length=sub)
             return out
 
         return step
 
+    def carry_step_fn(self):
+        """Jitted recorded step over the integration carry (sub_steps
+        integrator substeps); for adaptive_rk4 the per-ray (dt, lambda)
+        persist and keep adapting across recorded steps, as the reference's
+        variables do (solver.hpp:881-1006).
+
+        checked_jit = jax.jit normally; checkify float checks under debug
+        mode (utils.set_debug) so a NaN-producing configuration raises a
+        located error instead of silently poisoning the trace."""
+        return checked_jit(self.raw_step_fn())
+
+    def step_fn(self):
+        """Jitted recorded step over a plain RayState.  For adaptive_rk4
+        the (dt, lambda) adaptation persists across the sub_steps substeps
+        of one call but starts fresh each call; use run/trace (or
+        carry_step_fn) for cross-step persistence."""
+        raw = self.raw_step_fn()
+        if not self.is_adaptive():
+            return checked_jit(raw)
+
+        def step(state: RayState) -> RayState:
+            return raw(self.init_carry(state)).state
+
+        return checked_jit(step)
+
     def residual(self):
         """Jitted D^2 residual (the solver kernel's diagnostic output,
         solver.hpp:331)."""
-        return jax.jit(residual_fn(self.dispersion, self.eq))
+        return checked_jit(residual_fn(self.dispersion, self.eq))
 
-    def run(self, state: RayState, num_steps: int) -> RayState:
+    def run(self, state: RayState, num_steps: int,
+            return_carry: bool = False):
         """Advance num_steps recorded steps entirely on device (one scan,
         no trajectory storage, no host dispatch per step) - the
         configuration of the reference's benchmark loop, which writes no
-        output (xrays_bench.cpp:97-101 with filename="")."""
-        step = self.step_fn()
+        output (xrays_bench.cpp:97-101 with filename="").
 
-        @jax.jit
-        def go(s):
-            def body(s, _):
-                return step(s), None
-            out, _ = jax.lax.scan(body, s, None, length=num_steps)
+        ``return_carry``: also return the final integration carry (for
+        adaptive_rk4, the persisted per-ray dt/lambda)."""
+        step = self.raw_step_fn()
+
+        def go(c):
+            def body(c, _):
+                return step(c), None
+            out, _ = jax.lax.scan(body, c, None, length=num_steps)
             return out
 
-        return go(state)
+        carry = checked_jit(go)(self.init_carry(state))
+        if return_carry:
+            return self.carry_state(carry), carry
+        return self.carry_state(carry)
 
     # -- whole-trace scan (device-resident trajectory) ---------------------
     def trace(self, state: RayState, num_steps: int):
@@ -139,26 +205,30 @@ class Solver:
         where trajectory is a RayState with a leading (num_steps + 1) axis
         including the initial state - the device-side analogue of the
         per-step NetCDF rows (solver.hpp write_step)."""
-        step = self.step_fn()
+        step = self.raw_step_fn()
 
-        def body(s, _):
-            s2 = step(s)
-            return s2, s2
+        def body(c, _):
+            c2 = step(c)
+            return c2, self.carry_state(c2)
 
-        final, traj = jax.lax.scan(body, state, None, length=num_steps)
+        def go(c0):
+            return jax.lax.scan(body, c0, None, length=num_steps)
+
+        final, traj = checked_jit(go)(self.init_carry(state))
         full = jax.tree.map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), state, traj)
-        return final, full
+        return self.carry_state(final), full
 
     def trace_streaming(self, state: RayState, num_steps: int,
                         writer: Callable[[int, RayState], None]):
         """Host loop with async dispatch: the writer callback receives each
         recorded state while the next step runs on device (the double
         buffered writer thread of solver.hpp:418-424)."""
-        step = self.step_fn()
+        step = self.carry_step_fn()
+        carry = self.init_carry(state)
         writer(0, state)
         for i in range(1, num_steps + 1):
-            state = step(state)     # async dispatch; not blocked on write
-            writer(i, state)
-        jax.block_until_ready(state)
-        return state
+            carry = step(carry)     # async dispatch; not blocked on write
+            writer(i, self.carry_state(carry))
+        jax.block_until_ready(carry)
+        return self.carry_state(carry)

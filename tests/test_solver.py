@@ -106,3 +106,62 @@ def test_split_symplectic_separable():
     # vacuum: k unchanged, x advances along vg
     np.testing.assert_allclose(float(st2.kx[0]), float(st.kx[0]), rtol=1e-14)
     assert float(st2.x[0]) != float(st.x[0])
+
+
+def test_adaptive_dt_persists_and_adapts():
+    """VERDICT r1 item 5 / solver.hpp:881-1006: the per-ray (dt, lambda)
+    are persistent variables - each step's Newton starts from the previous
+    step's adapted values, and on the stiff system the adapted dt visibly
+    differs from the configured scalar and keeps changing between recorded
+    steps."""
+    from graph_framework_tpu.models.equilibrium import make_no_magnetic_field
+
+    eq = make_no_magnetic_field()
+    st = make_ray_state(4, w=1.0, x=1.0, kx=1.0)
+    sol = Solver(disp.stiff, eq, method="adaptive_rk4", dt=1.0e-4,
+                 sub_steps=1)
+
+    step = sol.carry_step_fn()
+    carry = sol.init_carry(st)
+    np.testing.assert_allclose(np.asarray(carry.dt), 1.0e-4)
+
+    c1 = step(carry)
+    c2 = step(c1)
+    # dt adapted away from the configured scalar...
+    assert float(jnp.max(jnp.abs(c1.dt - 1.0e-4))) > 1.0e-7
+    # ...and kept adapting from the *persisted* value, not re-broadcast
+    assert float(jnp.max(jnp.abs(c2.dt - c1.dt))) > 0.0
+    # time advanced by the adapted dt (adaptation precedes the RK step),
+    # not by the configured scalar
+    np.testing.assert_allclose(np.asarray(c1.state.t), np.asarray(c1.dt),
+                               rtol=1e-12)
+
+
+def test_newton_diagnostics_real_counts():
+    """ops.newton exposes the converge_item's telemetry
+    (workflow.hpp:184-204): true iteration count and final max residual."""
+    from graph_framework_tpu.ops.newton import newton_solve
+
+    x0 = jnp.array([3.0, 10.0, 0.5])
+    x, converged, diag = newton_solve(lambda x: x * x - 2.0, x0,
+                                      tolerance=1.0e-28)
+    np.testing.assert_allclose(np.asarray(x), np.sqrt(2.0), rtol=1e-12)
+    assert bool(converged)
+    assert int(diag.iterations) >= 3          # sqrt(2) from 10 takes > 3
+    assert float(diag.residual) <= 1.0e-28
+    assert bool(diag.converged)
+
+    # non-convergence is reported, not silent: zero iterations allowed
+    _, conv2, diag2 = newton_solve(lambda x: x * x - 2.0, x0,
+                                   tolerance=1.0e-30, max_iterations=2)
+    assert int(diag2.iterations) == 2
+    assert not bool(conv2) and not bool(diag2.converged)
+
+
+def test_init_k_returns_diagnostics():
+    eq = make_gaussian_density()
+    st = make_ray_state(3, w=0.5, kx=0.25, ky=0.25, kz=0.15)
+    st2, diag = init_k(st, disp.simple, eq, "kx", tolerance=1.0e-26,
+                       return_diagnostics=True)
+    assert int(diag.iterations) > 0
+    assert bool(diag.converged)
