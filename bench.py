@@ -1,16 +1,36 @@
 """Benchmark: ray-steps/s/chip on the reference's xrays_bench configuration.
 
 Mirrors graph_benchmark/xrays_bench.cpp:41-132 - rk4 + cold_plasma +
-efit.nc, 100k rays, sub_steps=10 - and reports integrator ray-steps per
-second per chip (setup/init/compile excluded, as the reference's scaling
-measurements do; graph_docs/code_performance.dox:24-25).
+efit.nc, 100k rays, 1000 recorded steps x sub_steps=10 (the full reference
+duration) - and reports integrator ray-steps per second per chip
+(setup/init/compile excluded, as the reference's scaling measurements do;
+graph_docs/code_performance.dox:24-25).
 
-Prints exactly one JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Where the reference times four scalar types (float/double/complex<float>/
+complex<double>, xrays_bench.cpp:129-132), this sweeps f32, f64 (XLA:TPU
+x64 emulation), and the split-complex kernel that IS the TPU complex story
+(native complex dtypes are UNIMPLEMENTED on the TPU backend; the
+absorption phase runs as (re, im) real pairs - models/absorption.py).
+
+MFU/roofline accounting (VERDICT r1): FLOPs and bytes per ray-step come
+from the compiled executable's XLA cost analysis; utilization is reported
+against (a) an *empirically measured* elementwise-FMA VPU peak (this
+workload has no matmuls - the MXU is idle by construction, so bf16 MXU
+peak would be the wrong denominator) and (b) the chip's published HBM
+bandwidth.  Gather "bytes accessed" are XLA's whole-operand accounting,
+an upper bound on true traffic for table gathers.
+
+Prints exactly one JSON line with the f32 headline value plus the full
+sweep in extra fields:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "dtypes": {...}, "roofline": {...}}
 
 vs_baseline normalizes against 1e6 ray-steps/s/chip - the order of the
 reference's single-A100 throughput inferred from its "800x one CPU core"
 claim (code_performance.dox:27-30); no absolute numbers are published.
+
+Env knobs: BENCH_MODE=fwd|grad|absorption|config5, BENCH_EQ=efit|vmec,
+BENCH_RAYS, BENCH_STEPS, BENCH_SUB_STEPS, BENCH_DTYPES, BENCH_GRAD_REPS.
 """
 
 import json
@@ -37,19 +57,80 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 EFIT_FILE = "/root/reference/graph_tests/efit.nc"
 VMEC_FILE = "/root/reference/graph_tests/vmec.nc"
 BENCH_EQ = os.environ.get("BENCH_EQ", "efit")     # efit | vmec (config 4)
-BENCH_MODE = os.environ.get("BENCH_MODE", "fwd")  # fwd | grad (fwd+bwd)
+BENCH_MODE = os.environ.get("BENCH_MODE", "fwd")  # fwd|grad|absorption|config5
 NUM_RAYS = int(os.environ.get("BENCH_RAYS", 100_000))
-NUM_STEPS = int(os.environ.get("BENCH_STEPS", 100))   # recorded steps
+# full reference duration (xrays_bench.cpp:129-132): 1000 recorded steps
+NUM_STEPS = int(os.environ.get("BENCH_STEPS", 1000))
 SUB_STEPS = int(os.environ.get("BENCH_SUB_STEPS", 10))
+DTYPES = os.environ.get("BENCH_DTYPES", "f32,f64,c-split").split(",")
 BASELINE_RAY_STEPS_PER_S = 1.0e6
 
+# published HBM bandwidth per chip [bytes/s]
+HBM_BW = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5": 2765e9,        # v5p
+    "TPU v6 lite": 1640e9,   # Trillium
+}
 
-def main():
+
+def _measure_vpu_peak():
+    """Empirical elementwise f32 FMA peak [FLOP/s].
+
+    Methodology (each point hard-won on the tunneled remote device):
+      * the iterated map is QUADRATIC (y <- y*y + c, one fused mul-add =
+        2 FLOPs): an affine chain (y*a + b) gets algebraically collapsed
+        by XLA into a single power-form FMA and reports fantasy TFLOP/s;
+      * 8 independent chains per element: a single chain is
+        latency-bound on the VPU (~1.3 TF/s measured vs ~3 TF/s with ILP
+        exposed);
+      * every timed call gets a DIFFERENT input array: repeated
+        same-input dispatches of one executable get deduplicated in the
+        remote-PJRT path and time as no-ops;
+      * calls are PIPELINED (block once at the end): a per-call host
+        sync pays the ~20 ms tunnel round-trip each call and measures
+        latency, not device throughput.
+    """
+    n, depth, lanes = 1 << 22, 256, 8
+
+    @jax.jit
+    def chain(x, c):
+        ys = [x * jnp.float32(1.0 + 0.01 * i) for i in range(lanes)]
+        for _ in range(depth):
+            ys = [y * y + c for y in ys]     # nonlinear: not foldable
+        out = ys[0]
+        for y in ys[1:]:
+            out = out + y
+        return out
+
+    c = jnp.float32(0.1)
+    reps = 10
+    xs = [jnp.full((n,), 0.11 + 1e-4 * i, jnp.float32)
+          for i in range(reps)]
+    chain(xs[0], c).block_until_ready()      # compile
+    t0 = time.perf_counter()
+    outs = [chain(xi, c) for xi in xs]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / reps
+    return 2.0 * n * depth * lanes / dt
+
+
+def _cost(step_fn, arg):
+    """(flops, bytes) per call from the compiled executable."""
+    try:
+        ca = jax.jit(step_fn).lower(arg).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), \
+            float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def _make(dtype):
     from graph_framework_tpu.models import make_efit, make_vmec
-    from graph_framework_tpu.models import dispersion as disp
-    from graph_framework_tpu.solver import Solver, make_ray_state, init_k
+    from graph_framework_tpu.solver import make_ray_state
 
-    dtype = jnp.float32
     if BENCH_EQ == "vmec":
         # BASELINE.json staged config 4: 3D stellarator trace in flux coords
         eq = make_vmec(VMEC_FILE, dtype=dtype)
@@ -59,7 +140,15 @@ def main():
         eq = make_efit(EFIT_FILE, dtype=dtype)
         state = make_ray_state(NUM_RAYS, w=500.0, x=2.5, y=0.0, z=0.0,
                                kx=-500.0, ky=0.0, kz=0.0, dtype=dtype)
+    return eq, state
 
+
+def _bench_trace(dtype, num_steps):
+    """Timed init + step loop at one dtype; returns per-dtype record."""
+    from graph_framework_tpu.models import dispersion as disp
+    from graph_framework_tpu.solver import Solver, init_k
+
+    eq, state = _make(dtype)
     sol = Solver(disp.cold_plasma, eq, method="rk4",
                  dt=1.0 / (NUM_STEPS * SUB_STEPS), sub_steps=SUB_STEPS)
 
@@ -68,11 +157,6 @@ def main():
                    tolerance=1.0e-10, max_iterations=100)
     jax.block_until_ready(state)
     t_init = time.perf_counter() - t0
-
-    if BENCH_MODE == "grad":
-        return run_grad(sol, state, t_init)
-    if BENCH_MODE == "absorption":
-        return run_absorption_bench(eq, state, t_init)
 
     # host loop dispatching the jitted 10-substep kernel: measured faster
     # than a scan-fused outer loop on this backend (1.81M vs 1.31M
@@ -85,40 +169,42 @@ def main():
     t_compile = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for _ in range(NUM_STEPS - 1):
+    for _ in range(num_steps - 1):
         state = step(state)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
+    assert state.x.dtype == dtype, state.x.dtype
 
-    integrator_steps = (NUM_STEPS - 1) * SUB_STEPS
-    ray_steps_per_s = NUM_RAYS * integrator_steps / elapsed
+    integrator_steps = (num_steps - 1) * SUB_STEPS
+    rsps = NUM_RAYS * integrator_steps / elapsed
+    flops, nbytes = _cost(sol.raw_step_fn(), state)
+    per = NUM_RAYS * SUB_STEPS
+    return dict(
+        ray_steps_per_s=round(rsps, 1),
+        num_steps=num_steps,
+        t_init_s=round(t_init, 2),
+        t_compile_s=round(t_compile, 2),
+        t_steps_s=round(elapsed, 2),
+        flops_per_ray_step=round(flops / per, 1),
+        bytes_per_ray_step=round(nbytes / per, 1),
+        achieved_gflops=round(rsps * flops / per / 1e9, 1),
+        achieved_gbs=round(rsps * nbytes / per / 1e9, 1),
+        final_x0=float(state.x[0]),
+    )
 
-    print(json.dumps({
-        "metric": f"ray-steps/s/chip (rk4+cold_plasma+{BENCH_EQ.upper()}, "
-                  f"{NUM_RAYS} rays f32)",
-        "value": round(ray_steps_per_s, 1),
-        "unit": "ray-steps/s",
-        "vs_baseline": round(ray_steps_per_s / BASELINE_RAY_STEPS_PER_S, 4),
-    }))
-    print(f"# init {t_init:.1f}s  first-step(compile) {t_compile:.1f}s  "
-          f"steps {elapsed:.1f}s  final x[0] {float(state.x[0]):.4f}",
-          file=sys.stderr)
 
+def _bench_absorption_split(num_slices):
+    """Split-complex weak-damping kamp throughput - the TPU-native
+    equivalent of the reference's complex-dtype phase (phase 2 of xrays;
+    absorption.hpp:328-484), complex-free by construction."""
+    from graph_framework_tpu.models.absorption import make_weak_damping_split
 
-def run_absorption_bench(eq, state, t_init):
-    """Absorption-phase throughput: the split-complex weak-damping kamp
-    update (phase 2 of xrays; absorption.hpp:328-484) over the ray
-    ensemble, per saved time slice.  Complex-free on TPU by construction
-    (models/absorption.make_weak_damping_split)."""
-    from graph_framework_tpu.models.absorption import (
-        make_weak_damping_split)
-
+    eq, state = _make(jnp.float32)
     update = jax.jit(make_weak_damping_split(eq))
 
-    # representative damping-region state: inside the plasma (te > 0 so
-    # the thermal speed is finite) with a parallel wave-number component
-    # (zeta finite).  The launch state sits in the vacuum edge, where weak
-    # damping is identically NaN-guarded in the real pipeline.
+    # representative damping-region state: inside the plasma (te > 0) with
+    # a parallel wave-number component (zeta finite); the launch state sits
+    # in the vacuum edge where weak damping is NaN-guarded.
     state = state._replace(
         x=jnp.full_like(state.x, 2.0),
         kz=jnp.full_like(state.kz, 50.0))
@@ -128,27 +214,96 @@ def run_absorption_bench(eq, state, t_init):
     jax.block_until_ready((re, im))
     t_compile = time.perf_counter() - t0
 
-    slices = max(10, NUM_STEPS)
+    # distinct input per slice (same-input dispatches dedupe to no-ops in
+    # the remote-PJRT path - see _measure_vpu_peak); the per-slice time
+    # variables mirror the real phase 2, which reads a new time row per
+    # kernel run (absorption.hpp:465-483)
+    times = [state.t + jnp.float32(1e-6 * i) for i in range(num_slices)]
     t0 = time.perf_counter()
-    for _ in range(slices):
-        re, im = update(state)
-    jax.block_until_ready((re, im))
+    outs = [update(state._replace(t=ti)) for ti in times]
+    jax.block_until_ready(outs)
     elapsed = time.perf_counter() - t0
+    re, im = outs[-1]
 
-    updates_per_s = NUM_RAYS * slices / elapsed
+    ups = NUM_RAYS * num_slices / elapsed
+    flops, nbytes = _cost(make_weak_damping_split(eq), state)
+    return dict(
+        kamp_updates_per_s=round(ups, 1),
+        num_slices=num_slices,
+        t_compile_s=round(t_compile, 2),
+        flops_per_update=round(flops / NUM_RAYS, 1),
+        achieved_gflops=round(ups * flops / NUM_RAYS / 1e9, 1),
+        kamp_im0=float(im[0]),
+    )
+
+
+def main():
+    if BENCH_MODE == "grad":
+        return run_grad()
+    if BENCH_MODE == "config5":
+        return run_config5()
+    if BENCH_MODE == "absorption":
+        rec = _bench_absorption_split(max(10, min(NUM_STEPS, 100)))
+        print(json.dumps({
+            "metric": f"kamp updates/s/chip (split-complex weak damping, "
+                      f"{BENCH_EQ.upper()}, {NUM_RAYS} rays f32)",
+            "value": rec["kamp_updates_per_s"],
+            "unit": "ray-slices/s",
+            "vs_baseline": round(
+                rec["kamp_updates_per_s"] / BASELINE_RAY_STEPS_PER_S, 4),
+            "detail": rec,
+        }))
+        return
+
+    # -- full dtype sweep (fwd) --------------------------------------------
+    if any(d in DTYPES for d in ("f64",)):
+        jax.config.update("jax_enable_x64", True)
+
+    records = {}
+    if "f32" in DTYPES:
+        records["f32"] = _bench_trace(jnp.float32, NUM_STEPS)
+    if "f64" in DTYPES:
+        # steady-state throughput: fewer recorded steps suffice (the
+        # per-step kernel is identical across steps); recorded in the JSON
+        records["f64"] = _bench_trace(
+            jnp.float64, int(os.environ.get("BENCH_STEPS_F64",
+                                            max(10, NUM_STEPS // 10))))
+    if "c-split" in DTYPES:
+        records["c-split"] = _bench_absorption_split(100)
+
+    head = records.get("f32") or next(iter(records.values()))
+
+    # -- roofline ----------------------------------------------------------
+    kind = jax.devices()[0].device_kind
+    vpu_peak = _measure_vpu_peak()
+    hbm = HBM_BW.get(kind)
+    mfu = head["achieved_gflops"] * 1e9 / vpu_peak
+    roofline = {
+        "device_kind": kind,
+        "vpu_peak_gflops_measured": round(vpu_peak / 1e9, 1),
+        "hbm_bw_gbs_published": round(hbm / 1e9, 1) if hbm else None,
+        "mfu_vs_vpu_peak": round(mfu, 4),
+        "hbm_util_upper_bound": round(
+            head["achieved_gbs"] * 1e9 / hbm, 4) if hbm else None,
+        "note": "elementwise+gather workload: MXU idle by construction; "
+                "mfu is achieved f32 FLOP/s over measured elementwise-FMA "
+                "peak; bytes are XLA whole-operand accounting (upper "
+                "bound for table gathers)",
+    }
+
     print(json.dumps({
-        "metric": f"kamp updates/s/chip (split-complex weak damping, "
-                  f"{BENCH_EQ.upper()}, {NUM_RAYS} rays f32)",
-        "value": round(updates_per_s, 1),
-        "unit": "ray-slices/s",
-        "vs_baseline": round(updates_per_s / BASELINE_RAY_STEPS_PER_S, 4),
+        "metric": f"ray-steps/s/chip (rk4+cold_plasma+{BENCH_EQ.upper()}, "
+                  f"{NUM_RAYS} rays f32, {NUM_STEPS}x{SUB_STEPS} steps)",
+        "value": head["ray_steps_per_s"],
+        "unit": "ray-steps/s",
+        "vs_baseline": round(
+            head["ray_steps_per_s"] / BASELINE_RAY_STEPS_PER_S, 4),
+        "dtypes": records,
+        "roofline": roofline,
     }))
-    print(f"# init {t_init:.1f}s  compile {t_compile:.1f}s  "
-          f"{slices} slices {elapsed:.2f}s  kamp_im[0] {float(im[0]):.3e}",
-          file=sys.stderr)
 
 
-def run_grad(sol, state, t_init):
+def run_grad():
     """Forward+backward bench: reverse-mode gradient of the trace endpoint
     w.r.t. the full launch state (BASELINE.json north star: profile the
     fused forward+backward step kernel per chip; config 5's reverse-mode
@@ -159,6 +314,19 @@ def run_grad(sol, state, t_init):
     storing the NUM_STEPS x SUB_STEPS trajectory (HBM: saves one RayState
     per recorded step only).
     """
+    from graph_framework_tpu.models import dispersion as disp
+    from graph_framework_tpu.solver import Solver, init_k
+
+    eq, state = _make(jnp.float32)
+    sol = Solver(disp.cold_plasma, eq, method="rk4",
+                 dt=1.0 / (NUM_STEPS * SUB_STEPS), sub_steps=SUB_STEPS)
+
+    t0 = time.perf_counter()
+    state = init_k(state, disp.cold_plasma, eq, "kx",
+                   tolerance=1.0e-10, max_iterations=100)
+    jax.block_until_ready(state)
+    t_init = time.perf_counter() - t0
+
     # prevent_cse=False: the checkpointed step sits inside lax.scan, where
     # the CSE-defeating optimization barriers jax.checkpoint inserts by
     # default are documented unnecessary - and they block XLA fusion.
@@ -180,11 +348,15 @@ def run_grad(sol, state, t_init):
     t_compile = time.perf_counter() - t0
 
     reps = max(1, int(os.environ.get("BENCH_GRAD_REPS", 3)))
+    # distinct input per rep: same-input dispatches dedupe to no-ops in
+    # the remote-PJRT path (see _measure_vpu_peak)
+    states = [state._replace(t=state.t + jnp.float32(1e-6 * i))
+              for i in range(reps)]
     t0 = time.perf_counter()
-    for _ in range(reps):
-        v, g = vg(state)
-    jax.block_until_ready(g)
+    outs = [vg(s) for s in states]
+    jax.block_until_ready(outs)
     elapsed = (time.perf_counter() - t0) / reps
+    v, g = outs[-1]
 
     ray_steps_per_s = NUM_RAYS * NUM_STEPS * SUB_STEPS / elapsed
     print(json.dumps({
@@ -198,6 +370,101 @@ def run_grad(sol, state, t_init):
     print(f"# init {t_init:.1f}s  compile {t_compile:.1f}s  "
           f"fwd+bwd trace {elapsed:.2f}s  loss {float(v):.5f}  "
           f"|dL/dkx0| {float(jnp.abs(g.kx).max()):.3e}", file=sys.stderr)
+
+
+def run_config5():
+    """BASELINE.json staged config 5: 1M-ray EFIT trace with per-step
+    weak-damping absorption and reverse-mode gradient of TOTAL ABSORBED
+    POWER w.r.t. launch wave numbers AND the psi spline tables, ray-sharded
+    over the available mesh.
+
+    Power accumulation follows xrays.cpp:673-793: k_sum += Im(kamp) dl per
+    recorded step, power = exp(-2 k_sum); absorbed = 1 - power summed over
+    rays.  The kamp update is the split-complex weak-damping kernel (the
+    TPU-native complex story).
+    """
+    import dataclasses
+    from graph_framework_tpu.models import dispersion as disp
+    from graph_framework_tpu.models.absorption import make_weak_damping_split
+    from graph_framework_tpu.solver import Solver, init_k
+    from graph_framework_tpu.parallel.mesh import ray_mesh, shard_rays
+
+    rays = int(os.environ.get("BENCH_RAYS", 1_000_000))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    sub = SUB_STEPS
+
+    from graph_framework_tpu.models import make_efit
+    from graph_framework_tpu.solver import make_ray_state
+    eq0 = make_efit(EFIT_FILE, dtype=jnp.float32)
+    state = make_ray_state(rays, w=800.0, x=2.0, y=0.0, z=0.0,
+                           kx=-400.0, ky=-410.0, kz=50.0, dtype=jnp.float32)
+
+    mesh = ray_mesh(jax.devices())
+    state = shard_rays(state, mesh)
+
+    t0 = time.perf_counter()
+    state = init_k(state, disp.cold_plasma, eq0, "kx",
+                   tolerance=1.0e-10, max_iterations=100)
+    jax.block_until_ready(state)
+    t_init = time.perf_counter() - t0
+
+    def absorbed_power(psi_coeffs, kz0):
+        eq = dataclasses.replace(eq0, psi_coeffs=psi_coeffs)
+        sol = Solver(disp.cold_plasma, eq, method="rk4",
+                     dt=1.0 / (steps * sub), sub_steps=sub)
+        kamp_fn = make_weak_damping_split(eq)
+        step = jax.checkpoint(sol.step_fn(), prevent_cse=False)
+        s0 = state._replace(kz=jnp.full_like(state.kz, kz0))
+
+        def body(carry, _):
+            s, ksum = carry
+            s2 = step(s)
+            dl = jnp.sqrt((s2.x - s.x) ** 2 + (s2.y - s.y) ** 2
+                          + (s2.z - s.z) ** 2)
+            _, kim = kamp_fn(s2)
+            # vacuum-edge guard (SAFE_MATH scrub, xrays.cpp:1096)
+            kim = jnp.nan_to_num(kim, nan=0.0, posinf=0.0, neginf=0.0)
+            return (s2, ksum + kim * dl), None
+
+        (s_fin, ksum), _ = jax.lax.scan(
+            body, (s0, jnp.zeros_like(s0.x)), None, length=steps)
+        power = jnp.exp(-2.0 * jnp.abs(ksum))
+        return jnp.sum(1.0 - power)
+
+    vg = jax.jit(jax.value_and_grad(absorbed_power, argnums=(0, 1)))
+
+    t0 = time.perf_counter()
+    v, (g_psi, g_kz) = vg(eq0.psi_coeffs, jnp.float32(50.0))
+    jax.block_until_ready(g_psi)
+    t_compile = time.perf_counter() - t0
+
+    reps = max(1, int(os.environ.get("BENCH_GRAD_REPS", 2)))
+    # distinct kz0 per rep: same-input dispatches dedupe (remote PJRT)
+    t0 = time.perf_counter()
+    outs = [vg(eq0.psi_coeffs, jnp.float32(50.0 + 1e-4 * i))
+            for i in range(reps)]
+    jax.block_until_ready(outs)
+    elapsed = (time.perf_counter() - t0) / reps
+    v, (g_psi, g_kz) = outs[-1]
+
+    rsps = rays * steps * sub / elapsed
+    print(json.dumps({
+        "metric": f"config5 fwd+bwd ray-steps/s (1M-ray EFIT absorption "
+                  f"trace, grad of absorbed power wrt psi tables + launch "
+                  f"kz, {len(jax.devices())} device(s))",
+        "value": round(rsps, 1),
+        "unit": "ray-steps/s",
+        "vs_baseline": round(rsps / BASELINE_RAY_STEPS_PER_S, 4),
+        "detail": {
+            "rays": rays, "steps": steps, "sub_steps": sub,
+            "t_init_s": round(t_init, 2),
+            "t_compile_s": round(t_compile, 2),
+            "t_fwd_bwd_s": round(elapsed, 2),
+            "absorbed_power": float(v),
+            "grad_kz": float(g_kz),
+            "grad_psi_norm": float(jnp.linalg.norm(g_psi.ravel())),
+        },
+    }))
 
 
 if __name__ == "__main__":

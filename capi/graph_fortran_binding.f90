@@ -165,6 +165,53 @@ module graph_fortran_binding
          type(c_ptr), value :: ctx, state
       end function
 
+      function graph_piecewise_1d(ctx, arg, scale, offset, source,        &
+                                  source_size)                            &
+            bind(c, name="graph_piecewise_1D")
+         import :: c_ptr, c_double, c_size_t
+         type(c_ptr) :: graph_piecewise_1d
+         type(c_ptr), value :: ctx, arg, source
+         real(c_double), value :: scale, offset
+         integer(c_size_t), value :: source_size
+      end function
+
+      function graph_piecewise_2d(ctx, num_cols, x_arg, x_scale,          &
+                                  x_offset, y_arg, y_scale, y_offset,     &
+                                  source, source_size)                    &
+            bind(c, name="graph_piecewise_2D")
+         import :: c_ptr, c_double, c_size_t
+         type(c_ptr) :: graph_piecewise_2d
+         type(c_ptr), value :: ctx, x_arg, y_arg, source
+         integer(c_size_t), value :: num_cols, source_size
+         real(c_double), value :: x_scale, x_offset, y_scale, y_offset
+      end function
+
+      function graph_index_1d(ctx, variable, arg, scale, offset)          &
+            bind(c, name="graph_index_1D")
+         import :: c_ptr, c_double
+         type(c_ptr) :: graph_index_1d
+         type(c_ptr), value :: ctx, variable, arg
+         real(c_double), value :: scale, offset
+      end function
+
+      function graph_index_2d(ctx, variable, num_cols, x_arg, x_scale,    &
+                              x_offset, y_arg, y_scale, y_offset)         &
+            bind(c, name="graph_index_2D")
+         import :: c_ptr, c_double, c_size_t
+         type(c_ptr) :: graph_index_2d
+         type(c_ptr), value :: ctx, variable, x_arg, y_arg
+         integer(c_size_t), value :: num_cols
+         real(c_double), value :: x_scale, x_offset, y_scale, y_offset
+      end function
+
+      subroutine graph_print(ctx, index, nodes, num_nodes)                &
+            bind(c, name="graph_print")
+         import :: c_ptr, c_size_t
+         type(c_ptr), value :: ctx
+         integer(c_size_t), value :: index, num_nodes
+         type(c_ptr), dimension(*) :: nodes
+      end subroutine
+
       function graph_df(ctx, num, den) bind(c, name="graph_df")
          import :: c_ptr
          type(c_ptr) :: graph_df

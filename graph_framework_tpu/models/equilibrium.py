@@ -121,6 +121,22 @@ class Equilibrium:
         equations skip the metric correction term."""
         return True
 
+    def bind_point(self, pos):
+        """Return an equilibrium *view* with any shared geometry
+        precomputed at ``pos`` - the TPU-native form of the reference's
+        subgraph memoization keyed on the evaluation point (``set_cache``,
+        equilibrium.hpp:1324-1384, 2073-2141).
+
+        Callers that evaluate several quantities at ONE point (the ray
+        right-hand side needs kvec's basis AND the dispersion's B at the
+        same pos) should bind once and query the view, so the expensive
+        geometry appears exactly once in the traced graph - guaranteed, as
+        opposed to hoping XLA CSE merges duplicate subtrees (and their
+        doubled reverse-mode cotangent paths).  Default: ``self`` - the
+        analytic/cartesian equilibria share no work between accessors.
+        """
+        return self
+
     def supports_batched(self) -> bool:
         """True when the field/basis methods are batched-polymorphic
         (accept (3, num_rays) positions as well as (3,)), enabling the

@@ -103,8 +103,9 @@ def dispersion_residual(dispersion: Callable, eq):
     def d_one(t, w, x, y, z, kx, ky, kz):
         pos = jnp.stack([x, y, z])
         kcov = jnp.stack([kx, ky, kz])
-        kvec = eq.kvec(kcov, pos)
-        return dispersion(w, kvec, pos, t, eq)
+        geq = eq.bind_point(pos)       # one shared-geometry evaluation
+        kvec = geq.kvec(kcov, pos)
+        return dispersion(w, kvec, pos, t, geq)
 
     return d_one
 
@@ -148,8 +149,12 @@ def make_ray_rhs(dispersion: Callable, eq, *, holomorphic=None,
             def F(w, x, y, z, kx, ky, kz):
                 pos = jnp.stack([x, y, z])
                 kcov = jnp.stack([kx, ky, kz])
-                kvec = eq.kvec(kcov, pos)
-                return jnp.sum(dispersion(w, kvec, pos, t, eq))
+                # bind once: kvec's basis and the dispersion's B share ONE
+                # geometry evaluation (and one reverse-mode path) instead
+                # of relying on XLA CSE to merge duplicate subtrees
+                geq = eq.bind_point(pos)
+                kvec = geq.kvec(kcov, pos)
+                return jnp.sum(dispersion(w, kvec, pos, t, geq))
 
             dw, dx, dy, dz, dkx, dky, dkz = jax.grad(
                 F, argnums=(0, 1, 2, 3, 4, 5, 6), holomorphic=holo)(
@@ -179,8 +184,9 @@ def make_ray_rhs(dispersion: Callable, eq, *, holomorphic=None,
                 F, argnums=(0, 1, 3), holomorphic=holo)(w, kcov, pos, pos)
         else:
             def F(w_, kcov_, pos_):
-                kvec = eq.kvec(kcov_, pos_)
-                return dispersion(w_, kvec, pos_, t, eq)
+                geq = eq.bind_point(pos_)
+                kvec = geq.kvec(kcov_, pos_)
+                return dispersion(w_, kvec, pos_, t, geq)
 
             dDdw, dDdk, dDdx = jax.grad(
                 F, argnums=(0, 1, 2), holomorphic=holo)(w, kcov, pos)

@@ -40,34 +40,57 @@ def _spline_modes(coeffs, s, scale, offset, local):
     measured one-index-gather win).  Returns (num_modes,).
     """
     u = (s - offset) / scale
-    ns, _, m = coeffs.shape
+    ns = coeffs.shape[0]
     idx = table_index_1d(s, scale, offset, ns)
     if local:
         u = u - idx.astype(u.dtype)
-    # flat single-trailing-dim gather + free reshape (see ops/spline.py:
-    # multi-trailing-dim gathers lower to a slow TPU path)
-    block = coeffs.reshape(ns, 4 * m)[idx].reshape(
-        jnp.shape(idx) + (4, m))                 # (..., 4, num_modes)
+    block = _block_fetch(coeffs, idx, batched=jnp.ndim(s) == 1)
     u = u[..., None] if jnp.ndim(u) else u       # broadcast over modes
     return (block[..., 0, :] + u * (block[..., 1, :]
             + u * (block[..., 2, :] + u * block[..., 3, :])))
 
 
-def _spline_modes_jet(coeffs, s, scale, offset, local):
-    """All per-mode radial splines AND their s-derivatives from one gather.
+def _block_fetch(coeffs, idx, batched):
+    """Fetch the (4, m) coefficient block of each ray's radial cell.
 
-    Same gather as :func:`_spline_modes`; the derivative is the Horner of
-    the analytically differentiated polynomial over the same block (the
-    mechanism of ops.spline.eval_bicubic_jet), so the radial tangent costs
-    no extra memory traffic.  Returns (value, d/ds), each (..., num_modes).
+    Two lowerings:
+      * MXU one-hot contraction for batched f32 ensembles: the radial
+        table is small (numsf ~ 100 cells), so ``onehot(idx) @ table`` is
+        a (rays, ns) x (ns, 4m) matmul - numerically EXACT (0/1 weights,
+        one nonzero per row) and it moves the hot-loop fetch off the
+        gather path (TPU gathers issue per-index through the scalar core;
+        the MXU streams the whole table once per tile).  Reverse-mode
+        transposes to another matmul instead of a scatter-add, and the
+        integer index stays non-differentiable (the reference's
+        piecewise-constant-in-index semantics, piecewise.hpp:241-243).
+      * flat single-trailing-dim dynamic gather otherwise (scalar probes,
+        f64 CPU tests - a one-hot matmul there just wastes flops).
+    """
+    ns, _, m = coeffs.shape
+    flat = coeffs.reshape(ns, 4 * m)
+    if batched and coeffs.dtype == jnp.float32 and ns <= 512:
+        onehot = (idx[:, None] == jnp.arange(ns, dtype=idx.dtype)[None, :]
+                  ).astype(coeffs.dtype)                  # (rays, ns)
+        block = jax.lax.stop_gradient(onehot) @ flat      # (rays, 4m) MXU
+        return block.reshape(idx.shape + (4, m))
+    return flat[idx].reshape(jnp.shape(idx) + (4, m))
+
+
+def _spline_modes_jet(coeffs, s, scale, offset, local):
+    """All per-mode radial splines AND their s-derivatives from one block
+    fetch (gather or one-hot matmul - see :func:`_block_fetch`).
+
+    The derivative is the Horner of the analytically differentiated
+    polynomial over the same block (the mechanism of
+    ops.spline.eval_bicubic_jet), so the radial tangent costs no extra
+    memory traffic.  Returns (value, d/ds), each (..., num_modes).
     """
     u = (s - offset) / scale
-    ns, _, m = coeffs.shape
+    ns = coeffs.shape[0]
     idx = table_index_1d(s, scale, offset, ns)
     if local:
         u = u - idx.astype(u.dtype)
-    block = coeffs.reshape(ns, 4 * m)[idx].reshape(
-        jnp.shape(idx) + (4, m))
+    block = _block_fetch(coeffs, idx, batched=jnp.ndim(s) == 1)
     u = u[..., None] if jnp.ndim(u) else u
     c0, c1 = block[..., 0, :], block[..., 1, :]
     c2, c3 = block[..., 2, :], block[..., 3, :]
@@ -280,6 +303,15 @@ class VmecEquilibrium(Equilibrium):
     def magnetic_field(self, pos):
         return self._geometry(pos)["bvec"]
 
+    def bind_point(self, pos):
+        """One-geometry view (see Equilibrium.bind_point): the ray RHS
+        needs the contravariant basis (kvec) AND B (dispersion) at the
+        same flux-space point; binding evaluates the Fourier geometry
+        once and serves both, halving the mode-sum work per RHS and - more
+        importantly - halving the reverse-mode cotangent paths through the
+        spline gathers and trig grids."""
+        return _BoundVmec(self, self._geometry(pos))
+
     def characteristic_field(self):
         """|B| at the axis (s, u, v) = 0 (equilibrium.hpp:2198-2205)."""
         zero = jnp.zeros(3, dtype=self.rmnc_coeffs.dtype)
@@ -309,6 +341,78 @@ class VmecEquilibrium(Equilibrium):
         return self.electron_temperature(pos)
 
 
+class _BoundVmec:
+    """Point-bound VMEC view: all geometry (basis vectors, B, Jacobian)
+    comes from ONE ``_geometry`` evaluation shared by every accessor.
+    Built inside traces by :meth:`VmecEquilibrium.bind_point`; positions
+    passed to the accessors are ignored - they are the binding point by
+    contract (the reference's set_cache hit path, equilibrium.hpp:2073).
+    """
+
+    __slots__ = ("_eq", "_geo")
+
+    def __init__(self, eq: VmecEquilibrium, geo: dict):
+        self._eq = eq
+        self._geo = geo
+
+    # -- pass-throughs ----------------------------------------------------
+    @property
+    def ion_masses(self):
+        return self._eq.ion_masses
+
+    @property
+    def ion_charges(self):
+        return self._eq.ion_charges
+
+    @property
+    def num_ion_species(self):
+        return self._eq.num_ion_species
+
+    def is_cartesian(self):
+        return False
+
+    def supports_batched(self):
+        return True
+
+    def bind_point(self, pos):
+        return self
+
+    # -- shared-geometry accessors ----------------------------------------
+    def esup(self, pos):
+        return self._geo["esup"]
+
+    def magnetic_field(self, pos):
+        return self._geo["bvec"]
+
+    def kvec(self, kcov, pos):
+        esup = self._geo["esup"]
+        return (kcov[0] * esup[0] + kcov[1] * esup[1]
+                + kcov[2] * esup[2])
+
+    def plasma_quantities(self, pos) -> "PlasmaQuantities":
+        from graph_framework_tpu.models.equilibrium import PlasmaQuantities
+        n = self._eq.num_ion_species
+        return PlasmaQuantities(
+            b=self._geo["bvec"],
+            ne=self._eq.electron_density(pos),
+            te=self._eq.electron_temperature(pos),
+            ni=tuple(self._eq.ion_density(i, pos) for i in range(n)),
+            ti=tuple(self._eq.ion_temperature(i, pos) for i in range(n)),
+        )
+
+    def electron_density(self, pos):
+        return self._eq.electron_density(pos)
+
+    def electron_temperature(self, pos):
+        return self._eq.electron_temperature(pos)
+
+    def ion_density(self, index, pos):
+        return self._eq.ion_density(index, pos)
+
+    def ion_temperature(self, index, pos):
+        return self._eq.ion_temperature(index, pos)
+
+
 def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
     """(R, Z, l) and their (s, u, v) derivatives in one analytic pass.
 
@@ -331,20 +435,29 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
     Returns ((R, Z, l), (dR, dZ, dl)) with each dX = (d/ds, d/du, d/dv).
     """
     if eq.grid_scatter is not None:
-        rm, rm_s = _spline_modes_jet(eq._grid_table(eq.rmnc_coeffs), s,
-                                     eq.ds, eq.sminf, eq.cell_local)
-        zm, zm_s = _spline_modes_jet(eq._grid_table(eq.zmns_coeffs), s,
-                                     eq.ds, eq.sminf, eq.cell_local)
+        # rmnc and zmns share the full radial grid: ONE concatenated
+        # (num_s, 4, 2*n_grid) table -> one block gather serves both
+        # (halves the gather-op count of the hot path; the concat is over
+        # constant tables, folded away by XLA at compile time)
+        rz = jnp.concatenate([eq._grid_table(eq.rmnc_coeffs),
+                              eq._grid_table(eq.zmns_coeffs)], axis=-1)
+        rzm, rzm_s = _spline_modes_jet(rz, s, eq.ds, eq.sminf,
+                                       eq.cell_local)
+        n_grid = eq.xm_grid.shape[0]
+        rm, zm = rzm[..., :n_grid], rzm[..., n_grid:]
+        rm_s, zm_s = rzm_s[..., :n_grid], rzm_s[..., n_grid:]
         lm, lm_s = _spline_modes_jet(eq._grid_table(eq.lmns_coeffs), s,
                                      eq.ds, eq.sminh, eq.cell_local)
         ca, sa = _grid_trig(eq.xm_unique, eq.xn_unique, u, v)
         xm = eq.xm_grid.astype(ca.dtype)
         xn = eq.xn_grid.astype(ca.dtype)
     else:
-        rm, rm_s = _spline_modes_jet(eq.rmnc_coeffs, s, eq.ds, eq.sminf,
-                                     eq.cell_local)
-        zm, zm_s = _spline_modes_jet(eq.zmns_coeffs, s, eq.ds, eq.sminf,
-                                     eq.cell_local)
+        rz = jnp.concatenate([eq.rmnc_coeffs, eq.zmns_coeffs], axis=-1)
+        rzm, rzm_s = _spline_modes_jet(rz, s, eq.ds, eq.sminf,
+                                       eq.cell_local)
+        m = eq.xm.shape[0]
+        rm, zm = rzm[..., :m], rzm[..., m:]
+        rm_s, zm_s = rzm_s[..., :m], rzm_s[..., m:]
         lm, lm_s = _spline_modes_jet(eq.lmns_coeffs, s, eq.ds, eq.sminh,
                                      eq.cell_local)
         ca, sa = _mode_trig(eq.xm, eq.xn, u, v)

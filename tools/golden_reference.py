@@ -14,7 +14,7 @@ numerical mechanism** with the framework:
     (the framework uses one jax.grad reverse pass);
   * integration: scipy DOP853 at rtol=1e-12 (the framework uses scan-based
     RK4);
-  * Newton init-k: scipy.optimize.newton with FD derivative;
+  * Newton init-k: scalar Newton with FD derivative;
   * plasma dispersion function Z: scipy.special.wofz (MIT Faddeeva; the
     framework derives Weideman-1994 coefficients at import time);
   * endpoint gradients: central finite differences over re-integrated
@@ -26,6 +26,10 @@ solve all at once.  The physics formulas themselves (cold-plasma
 determinant etc.) are the same published relations as the reference's
 dispersion.hpp:227-1305 - re-deriving those would be re-deriving plasma
 physics - but they are *evaluated* through an entirely different pipeline.
+
+Everything is batch-polymorphic over a leading point axis (p: (..., 3),
+k: (..., 3)) purely so the 29-point FD stencil of one RHS call evaluates
+in one numpy pass - vectorization, not a mechanism change.
 
 Run ``python tools/golden_reference.py`` to (re)generate
 ``tests/fixtures/golden_config*.npz``; tests/test_reference_parity.py
@@ -60,8 +64,12 @@ def wc_of(q, b, m):
     return q * b / (m * C)
 
 
+def _dot(a, b):
+    return np.sum(a * b, axis=-1)
+
+
 # ---------------------------------------------------------------------------
-# referee equilibria
+# referee equilibria (batched over a leading point axis)
 # ---------------------------------------------------------------------------
 
 class SlabDensityRef:
@@ -70,10 +78,10 @@ class SlabDensityRef:
     ion_charges = (1,)
 
     def ne(self, p):
-        return 1.0e19 * (0.1 * p[0] + 1.0)
+        return 1.0e19 * (0.1 * p[..., 0] + 1.0)
 
     def te(self, p):
-        return 1000.0
+        return np.broadcast_to(1000.0, p[..., 0].shape)
 
     def ni(self, i, p):
         return self.ne(p)
@@ -82,7 +90,9 @@ class SlabDensityRef:
         return self.te(p)
 
     def b(self, p):
-        return np.array([0.0, 0.0, 1.0])
+        out = np.zeros_like(p)
+        out[..., 2] = 1.0
+        return out
 
 
 class GaussianDensityRef:
@@ -91,10 +101,10 @@ class GaussianDensityRef:
     ion_charges = (1,)
 
     def ne(self, p):
-        return 1.0e19 * np.exp(-(p[0] ** 2 + p[1] ** 2) / 0.2)
+        return 1.0e19 * np.exp(-(p[..., 0] ** 2 + p[..., 1] ** 2) / 0.2)
 
     def te(self, p):
-        return 1000.0
+        return np.broadcast_to(1000.0, p[..., 0].shape)
 
     def ni(self, i, p):
         return self.ne(p)
@@ -103,7 +113,9 @@ class GaussianDensityRef:
         return self.te(p)
 
     def b(self, p):
-        return np.array([1.0, 0.0, 0.0])
+        out = np.zeros_like(p)
+        out[..., 0] = 1.0
+        return out
 
 
 class EfitRef:
@@ -147,9 +159,10 @@ class EfitRef:
                            "pressure": float(g("pres_scale")),
                            "fpol": 1.0}
 
-    # raw global-coordinate spline evaluation -------------------------------
-    def _idx(self, u, n):
-        return int(np.clip(np.trunc(u), 0, n - 1))
+    # raw global-coordinate spline evaluation (batched) ---------------------
+    @staticmethod
+    def _idx(u, n):
+        return np.clip(np.trunc(u), 0, n - 1).astype(np.int64)
 
     def eval_prof(self, name, psi):
         c = self.prof[name]
@@ -159,16 +172,19 @@ class EfitRef:
             * self.scales[name]
 
     def psi_rz(self, r, z):
+        r = np.asarray(r, dtype=np.float64)
+        z = np.asarray(z, dtype=np.float64)
         u = (r - self.rmin) / self.dr
         v = (z - self.zmin) / self.dz
         i = self._idx(u, self.psi_c.shape[2])
         j = self._idx(v, self.psi_c.shape[3])
-        up = np.array([1.0, u, u * u, u ** 3])
-        vp = np.array([1.0, v, v * v, v ** 3])
-        return up @ self.psi_c[:, :, i, j] @ vp
+        c = self.psi_c[:, :, i, j]                 # (4, 4, ...)
+        up = np.stack([np.ones_like(u), u, u * u, u ** 3])
+        vp = np.stack([np.ones_like(v), v, v * v, v ** 3])
+        return np.einsum("a...,ab...,b...->...", up, c, vp)
 
     def psi(self, p):
-        return self.psi_rz(np.hypot(p[0], p[1]), p[2])
+        return self.psi_rz(np.hypot(p[..., 0], p[..., 1]), p[..., 2])
 
     def ne(self, p):
         return self.eval_prof("ne", self.psi(p))
@@ -188,11 +204,11 @@ class EfitRef:
         return (pres - ne * te * qr) / (te * qr)
 
     def b(self, p):
-        x, y, z = p
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
         r = np.hypot(x, y)
         # dpsi/dr, dpsi/dz by 4th-order central FD of the raw polynomial -
-        # deliberately NOT the analytic polynomial derivative, so the
-        # derivative path is independent of any symbolic manipulation.
+        # deliberately NOT an analytic/symbolic derivative, so the
+        # derivative path is independent of any autodiff machinery.
         hr = self.dr * 1.0e-5
         hz = self.dz * 1.0e-5
         dpsi_dr = (8 * (self.psi_rz(r + hr, z) - self.psi_rz(r - hr, z))
@@ -205,7 +221,8 @@ class EfitRef:
         bp = self.eval_prof("fpol", self.psi(p)) / r
         bz = -dpsi_dr / r
         cph, sph = x / r, y / r
-        return np.array([br * cph - bp * sph, br * sph + bp * cph, bz])
+        return np.stack([br * cph - bp * sph, br * sph + bp * cph, bz],
+                        axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -215,19 +232,19 @@ class EfitRef:
 def D_ordinary(w, k, p, eq):
     wpe2 = wpe2_of(eq.ne(p))
     b = eq.b(p)
-    bhat = b / np.linalg.norm(b)
-    n = k / w
-    nperp2 = n @ n - (bhat @ n) ** 2
+    bhat = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    n = k / np.asarray(w)[..., None]
+    nperp2 = _dot(n, n) - _dot(bhat, n) ** 2
     return 1.0 - wpe2 / (w * w) - nperp2
 
 
 def D_xmode(w, k, p, eq):
     wpe2 = wpe2_of(eq.ne(p))
     b = eq.b(p)
-    wce = wc_of(-Q, np.linalg.norm(b), ME)
-    bhat = b / np.linalg.norm(b)
-    n = k / w
-    nperp2 = n @ n - (bhat @ n) ** 2
+    wce = wc_of(-Q, np.linalg.norm(b, axis=-1), ME)
+    bhat = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    n = k / np.asarray(w)[..., None]
+    nperp2 = _dot(n, n) - _dot(bhat, n) ** 2
     wh2 = wpe2 + wce * wce
     w2 = w * w
     return 1.0 - wpe2 / w2 * (w2 - wpe2) / (w2 - wh2) - nperp2
@@ -237,15 +254,16 @@ def D_bohm_gross(w, k, p, eq):
     wpe2 = wpe2_of(eq.ne(p))
     vt2 = 2.0 * Q * eq.te(p) / (ME * C * C)
     b = eq.b(p)
-    b2 = b @ b
-    kpar2 = (b @ k) ** 2 / b2 if b2 > 0 else k @ k
+    b2 = _dot(b, b)
+    kpar2 = np.where(b2 > 0, _dot(b, k) ** 2 / np.where(b2 > 0, b2, 1.0),
+                     _dot(k, k))
     return wpe2 + 1.5 * kpar2 * vt2 - w * w
 
 
 def D_cold_plasma(w, k, p, eq):
     wpe2 = wpe2_of(eq.ne(p))
     b = eq.b(p)
-    blen = np.linalg.norm(b)
+    blen = np.linalg.norm(b, axis=-1)
     ec = wc_of(-Q, blen, ME)
     w2 = w * w
     denome = 1.0 - ec * ec / w2
@@ -257,15 +275,15 @@ def D_cold_plasma(w, k, p, eq):
         wpi2 = wpe2_of(eq.ni(i, p), qi, mi)
         ic = wc_of(qi, blen, mi)
         denomi = 1.0 - ic * ic / w2
-        e11 -= (wpi2 / w2) / denomi
-        e12 += ((ic / w) * (wpi2 / w2)) / denomi
-        e33 += wpi2
+        e11 = e11 - (wpi2 / w2) / denomi
+        e12 = e12 + ((ic / w) * (wpi2 / w2)) / denomi
+        e33 = e33 + wpi2
     e12 = -e12
     e33 = 1.0 - e33 / w2
-    n = k / w
-    bhat = b / blen
-    n2 = n @ n
-    npara2 = (bhat @ n) ** 2
+    n = k / np.asarray(w)[..., None]
+    bhat = b / blen[..., None]
+    n2 = _dot(n, n)
+    npara2 = _dot(bhat, n) ** 2
     nperp2 = n2 - npara2
     m11 = e11 - npara2
     m22 = e11 - n2
@@ -276,15 +294,15 @@ def D_cold_plasma(w, k, p, eq):
 def D_cold_expansion(w, k, p, eq):
     """Electron cold-plasma expansion Dc (dispersion.hpp:1017-1092)."""
     b = eq.b(p)
-    blen = np.linalg.norm(b)
-    bhat = b / blen
+    blen = np.linalg.norm(b, axis=-1)
+    bhat = b / blen[..., None]
     ec = wc_of(Q, blen, ME)
     wpe2 = wpe2_of(eq.ne(p))
     P = wpe2 / (w * w)
     q = P / (2.0 * (1.0 + ec / w))
-    n = k / w
-    n2 = n @ n
-    npara2 = (n @ bhat) ** 2
+    n = k / np.asarray(w)[..., None]
+    n2 = _dot(n, n)
+    npara2 = _dot(n, bhat) ** 2
     nperp2 = n2 - npara2
     q_func = 1.0 - 2.0 * q
     n_func = n2 + npara2
@@ -302,16 +320,16 @@ def D_hot_expansion(w, k, p, eq):
     """Weakly-damped hot expansion Dw (dispersion.hpp:1208-1299), with the
     plasma dispersion function from scipy's MIT Faddeeva wofz."""
     b = eq.b(p)
-    blen = np.linalg.norm(b)
-    bhat = b / blen
+    blen = np.linalg.norm(b, axis=-1)
+    bhat = b / blen[..., None]
     ec = wc_of(Q, blen, ME)
     wpe2 = wpe2_of(eq.ne(p))
     ve = np.sqrt(2.0 * Q * eq.te(p) / ME) / C
     P = wpe2 / (w * w)
     q = P / (2.0 * (1.0 + ec / w))
-    n = k / w
-    n2 = n @ n
-    npara = bhat @ n
+    n = k / np.asarray(w)[..., None]
+    n2 = _dot(n, n)
+    npara = _dot(bhat, n)
     npara2 = npara * npara
     nperp2 = n2 - npara2
     zeta = (1.0 - ec / w) / (npara * ve)
@@ -337,26 +355,52 @@ def D_hot_expansion(w, k, p, eq):
 # FD machinery, integration, Newton
 # ---------------------------------------------------------------------------
 
+FD_REL = 7.0e-4      # ~optimal absolute step factor for 5-point f64 stencil
+
+
 def fd_grad(f, x0, scale):
-    """4th-order central difference f'(x0) with absolute step ~7e-4*scale
-    (optimal for the 5-point stencil in f64)."""
-    h = 7.0e-4 * scale
+    """4th-order central difference f'(x0) (scalar helper)."""
+    h = FD_REL * scale
     return (8.0 * (f(x0 + h) - f(x0 - h))
             - (f(x0 + 2 * h) - f(x0 - 2 * h))) / (12.0 * h)
 
 
 def ray_rhs(D, w, eq):
-    """dx/dt = -D_k/D_w, dk/dt = D_x/D_w by FD (cartesian equilibria)."""
+    """dx/dt = -D_k/D_w, dk/dt = D_x/D_w by FD (cartesian equilibria).
+
+    All 28 stencil evaluations (7 derivatives x 4-point central stencils)
+    are batched into ONE call of the vectorized D - numerically identical
+    to evaluating them one by one, just not glacial."""
 
     def rhs(t, y):
         p, k = y[:3], y[3:]
-        Dw = fd_grad(lambda v: D(v, k, p, eq), w, abs(w))
-        dk = np.array([
-            fd_grad(lambda v: D(w, np.where(np.arange(3) == i, v, k), p, eq),
-                    k[i], max(abs(w), abs(k[i]))) for i in range(3)])
-        dx = np.array([
-            fd_grad(lambda v: D(w, k, np.where(np.arange(3) == i, v, p), eq),
-                    p[i], max(1.0, abs(p[i]))) for i in range(3)])
+        hw = FD_REL * abs(w)
+        hk = FD_REL * np.maximum(abs(w), np.abs(k))
+        hp = FD_REL * np.maximum(1.0, np.abs(p))
+
+        # stencil rows: [w-+: 4] [k0..k2 -+: 12] [p0..p2 -+: 12]
+        n_rows = 28
+        ws = np.full(n_rows, w)
+        ps = np.tile(p, (n_rows, 1))
+        ks = np.tile(k, (n_rows, 1))
+        steps = np.array([-2.0, -1.0, 1.0, 2.0])
+        ws[0:4] += steps * hw
+        for i in range(3):
+            ks[4 + 4 * i:8 + 4 * i, i] += steps * hk[i]
+            ps[16 + 4 * i:20 + 4 * i, i] += steps * hp[i]
+
+        d = D(ws, ks, ps, eq)
+
+        def central(block, h):
+            # block = D at [-2h, -h, +h, +2h]
+            return (8.0 * (block[2] - block[1])
+                    - (block[3] - block[0])) / (12.0 * h)
+
+        Dw = central(d[0:4], hw)
+        dk = np.array([central(d[4 + 4 * i:8 + 4 * i], hk[i])
+                       for i in range(3)])
+        dx = np.array([central(d[16 + 4 * i:20 + 4 * i], hp[i])
+                       for i in range(3)])
         return np.concatenate([-dk / Dw, dx / Dw])
 
     return rhs
@@ -377,23 +421,23 @@ def newton_k(D, w, p, k, which, eq, tol=1.0e-14, it_max=100):
     return k
 
 
-def integrate(D, w, p0, k0, eq, t_final, n_record):
+def integrate(D, w, p0, k0, eq, t_final, n_record, rtol=1.0e-12):
     ts = np.linspace(0.0, t_final, n_record + 1)
     sol = solve_ivp(ray_rhs(D, w, eq), (0.0, t_final),
                     np.concatenate([p0, k0]), method="DOP853",
-                    rtol=1.0e-12, atol=1.0e-12, t_eval=ts, dense_output=False)
+                    rtol=rtol, atol=rtol, t_eval=ts, dense_output=False)
     assert sol.success, sol.message
     return ts, sol.y.T        # (n_record+1, 6)
 
 
-def endpoint_gradient(D, w, p0, k0, eq, t_final, *, wrt, h):
+def endpoint_gradient(D, w, p0, k0, eq, t_final, *, wrt, h, rtol=1.0e-12):
     """d(endpoint xyz)/d(param) by central FD over full re-integrations.
 
     wrt: ("w",), ("p", i) or ("k", i).
     """
 
     def endpoint(wv, pv, kv):
-        _, traj = integrate(D, wv, pv, kv, eq, t_final, 1)
+        _, traj = integrate(D, wv, pv, kv, eq, t_final, 1, rtol=rtol)
         return traj[-1, :3]
 
     if wrt[0] == "w":
@@ -412,32 +456,47 @@ def endpoint_gradient(D, w, p0, k0, eq, t_final, *, wrt, h):
 # ---------------------------------------------------------------------------
 
 def gen_analytic_config(name, D, eq, w, p_launch, k_guess, which,
-                        t_final, n_record=10, grad_params=()):
-    """Generate one fixture: Newton roots, trajectories, optional grads."""
+                        t_final, n_record=10, grad_params=(),
+                        rtol=1.0e-12, t_grad=None):
+    """Generate one fixture: Newton roots, trajectories, optional grads.
+
+    ``t_grad``: horizon for the endpoint-gradient integrations (defaults
+    to t_final; config 3's +-h perturbed EFIT rays hit a cold-plasma
+    resonance before t_final where DOP853 underflows its step size, so
+    the gradients are pinned at a shorter, everywhere-regular horizon -
+    the parity test evaluates the framework jacobian at the same time).
+    The trajectory part is saved BEFORE the gradient integrations so a
+    gradient failure never discards finished work.
+    """
     n = len(p_launch)
     k_init = np.array([newton_k(D, w, p_launch[i], k_guess[i], which, eq)
                        for i in range(n)])
     trajs = []
     for i in range(n):
         ts, traj = integrate(D, w, p_launch[i], k_init[i], eq,
-                             t_final, n_record)
+                             t_final, n_record, rtol=rtol)
         trajs.append(traj)
+        print(f"{name}: ray {i} end x = {traj[-1, 0]:.6f}", flush=True)
     trajs = np.array(trajs)                 # (n, n_record+1, 6)
-
-    grads = {}
-    for (wrt, h) in grad_params:
-        g = endpoint_gradient(D, w, p_launch[0], k_init[0], eq, t_final,
-                              wrt=wrt, h=h)
-        key = "grad_" + "_".join(str(v) for v in wrt)
-        grads[key] = g
 
     out = dict(w=np.float64(w), which=np.int64(which),
                t_record=ts, p_launch=np.array(p_launch),
-               k_guess=np.array(k_guess), k_init=k_init, traj=trajs,
-               **grads)
+               k_guess=np.array(k_guess), k_init=k_init, traj=trajs)
     FIXTURES.mkdir(parents=True, exist_ok=True)
     np.savez(FIXTURES / f"{name}.npz", **out)
-    print(f"{name}: endpoints x = {trajs[:, -1, 0]}")
+
+    if t_grad is None:
+        t_grad = t_final
+    for (wrt, h) in grad_params:
+        g = endpoint_gradient(D, w, p_launch[0], k_init[0], eq, t_grad,
+                              wrt=wrt, h=h, rtol=rtol)
+        key = "grad_" + "_".join(str(v) for v in wrt)
+        out[key] = g
+        out["t_grad"] = np.float64(t_grad)
+        np.savez(FIXTURES / f"{name}.npz", **out)   # incremental
+        print(f"{name}: {key} = {g}", flush=True)
+
+    print(f"{name}: endpoints x = {trajs[:, -1, 0]}", flush=True)
     return out
 
 
@@ -461,56 +520,71 @@ def gen_kamp_fixture(name, eq, w, states):
     ks = np.array([s[1] for s in states])
     np.savez(FIXTURES / f"{name}.npz", w=np.float64(w), p=ps, k=ks,
              kamp_re=np.array(out_re), kamp_im=np.array(out_im))
-    print(f"{name}: kamp_im = {np.array(out_im)}")
+    print(f"{name}: kamp_im = {np.array(out_im)}", flush=True)
 
 
 def main():
+    import sys
+    only = sys.argv[1] if len(sys.argv) > 1 else None
     efit_path = "/root/reference/graph_tests/efit.nc"
 
-    # config 1: cold-plasma O-mode, analytic slab density ramp, RK4
-    slab = SlabDensityRef()
-    p1 = [np.array([0.0, y, 0.0]) for y in (-0.1, 0.0, 0.1, 0.2)]
-    k1 = [np.array([300.0, 0.0, 140.0])] * 4
-    gen_analytic_config(
-        "golden_config1_omode_slab", D_ordinary, slab, 700.0, p1, k1,
-        which=0, t_final=2.0,
-        grad_params=[(("k", 0), 1.0e-3), (("p", 0), 1.0e-6), (("w",), 1.0e-3)])
+    if only in (None, "1"):
+        # config 1: cold-plasma O-mode, analytic slab density ramp, RK4
+        slab = SlabDensityRef()
+        p1 = [np.array([0.0, y, 0.0]) for y in (-0.1, 0.0, 0.1, 0.2)]
+        k1 = [np.array([300.0, 0.0, 140.0])] * 4
+        gen_analytic_config(
+            "golden_config1_omode_slab", D_ordinary, slab, 700.0, p1, k1,
+            which=0, t_final=2.0,
+            grad_params=[(("k", 0), 1.0e-3), (("p", 0), 1.0e-6),
+                         (("w",), 1.0e-3)])
 
-    # config 2a: X-mode + Newton init-k in the same slab
-    p2 = [np.array([0.0, y, 0.0]) for y in (-0.1, 0.0, 0.1, 0.2)]
-    k2 = [np.array([500.0, 0.0, 100.0])] * 4
-    gen_analytic_config(
-        "golden_config2_xmode_slab", D_xmode, slab, 1000.0, p2, k2,
-        which=0, t_final=2.0,
-        grad_params=[(("k", 0), 1.0e-3)])
+    if only in (None, "2"):
+        # config 2a: X-mode + Newton init-k in the same slab
+        slab = SlabDensityRef()
+        p2 = [np.array([0.0, y, 0.0]) for y in (-0.1, 0.0, 0.1, 0.2)]
+        k2 = [np.array([500.0, 0.0, 100.0])] * 4
+        gen_analytic_config(
+            "golden_config2_xmode_slab", D_xmode, slab, 1000.0, p2, k2,
+            which=0, t_final=2.0,
+            grad_params=[(("k", 0), 1.0e-3)])
 
-    # config 2b: warm bohm-gross in the gaussian density well
-    gauss = GaussianDensityRef()
-    p2b = [np.array([-0.5, y, 0.0]) for y in (0.0, 0.05, 0.1, 0.15)]
-    k2b = [np.array([3000.0, 0.0, 0.0])] * 4
-    gen_analytic_config(
-        "golden_config2_bohm_gross", D_bohm_gross, gauss, 650.0, p2b, k2b,
-        which=0, t_final=0.5,
-        grad_params=[(("k", 0), 1.0e-2)])
+        # config 2b: warm bohm-gross in the gaussian density well
+        gauss = GaussianDensityRef()
+        p2b = [np.array([-0.5, y, 0.0]) for y in (0.0, 0.05, 0.1, 0.15)]
+        k2b = [np.array([3000.0, 0.0, 0.0])] * 4
+        gen_analytic_config(
+            "golden_config2_bohm_gross", D_bohm_gross, gauss, 650.0, p2b,
+            k2b, which=0, t_final=0.5,
+            grad_params=[(("k", 0), 1.0e-2)])
 
-    # config 3: cold plasma in EFIT (bicubic tokamak fields)
-    efit = EfitRef(efit_path)
-    p3 = [np.array([2.5, 0.0, z]) for z in (-0.1, 0.0, 0.1)]
-    k3 = [np.array([-500.0, 0.0, 0.0])] * 3
-    cfg3 = gen_analytic_config(
-        "golden_config3_efit", D_cold_plasma, efit, 500.0, p3, k3,
-        which=0, t_final=0.5,
-        grad_params=[(("k", 0), 1.0e-3), (("p", 2), 1.0e-6)])
+    if only in (None, "3"):
+        # config 3: cold plasma in EFIT (bicubic tokamak fields).  rtol
+        # 1e-11: the FD-derivative RHS noise floor (~1e-10 relative) makes
+        # tighter integrator tolerances meaningless, and the spiky bicubic
+        # cell boundaries make them 10x slower.
+        efit = EfitRef(efit_path)
+        # launch INSIDE the plasma (x = 2.0, finite kz): at the reference
+        # bench's vacuum-edge launch (x = 2.5, |n| = 1) the O and X
+        # branches of the cold-plasma determinant coincide, so D_k and
+        # D_w both vanish (double root) and dx/dt = 0/0 - the ray
+        # equations are singular there and cannot be cross-validated.
+        p3 = [np.array([2.0, 0.0, z]) for z in (-0.1, 0.0, 0.1)]
+        k3 = [np.array([-400.0, 0.0, 50.0])] * 3
+        cfg3 = gen_analytic_config(
+            "golden_config3_efit", D_cold_plasma, efit, 500.0, p3, k3,
+            which=0, t_final=0.5, rtol=1.0e-11, t_grad=0.25,
+            grad_params=[(("k", 0), 1.0e-3), (("p", 2), 1.0e-6)])
 
-    # kamp golden along the config-3 ray-0 trajectory (vacuum-edge states
-    # excluded: weak damping needs finite kpar and te > 0, so shift k to
-    # add a parallel component as bench.py's absorption mode does)
-    states = []
-    for row in cfg3["traj"][0][2:8]:
-        p, k = row[:3].copy(), row[3:].copy()
-        k[2] = 50.0
-        states.append((p, k))
-    gen_kamp_fixture("golden_kamp_efit", efit, 500.0, states)
+        # kamp golden along the config-3 ray-0 trajectory (vacuum-edge
+        # states excluded: weak damping needs finite kpar and te > 0, so
+        # shift k to add a parallel component as bench.py's absorption
+        # mode does)
+        states = []
+        for row in cfg3["traj"][0][2:8]:
+            p, k = row[:3].copy(), row[3:].copy()
+            states.append((p, k))
+        gen_kamp_fixture("golden_kamp_efit", efit, 500.0, states)
 
 
 if __name__ == "__main__":
