@@ -41,7 +41,9 @@ def _run(extra_env):
     assert out.returncode == 0, out.stderr
     line = out.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    # driver contract: at least these four keys (extra diagnostic fields
+    # like the dtype sweep and roofline/MFU accounting are allowed)
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["value"] > 0
     return rec
 

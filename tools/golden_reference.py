@@ -225,6 +225,190 @@ class EfitRef:
                         axis=-1)
 
 
+class VmecRef:
+    """VMEC stellarator equilibrium evaluated straight from the raw
+    vmec.nc tables (equilibrium.hpp:1867-2651 semantics).
+
+    Independence from the framework path (models/vmec.py):
+      * per-mode radial splines evaluated as raw GLOBAL-coordinate
+        polynomials u = (s - smin)/ds with clamp(trunc(u)) cells - the
+        framework rebases to cell-local coordinates and gathers cell-major
+        blocks (or one-hot matmuls);
+      * per-mode transcendentals cos/sin(xm u - xn v) - the framework
+        factors them through unique-mode outer products (_grid_trig);
+      * ALL geometry derivatives (d(R,Z,l)/d(s,u,v), dchi/ds) by 4th-order
+        central finite differences - the framework hand-writes the
+        analytic mode-sum Jacobian and autodiffs through it.
+
+    chi(s) is evaluated at the physical radial coordinate (the intended
+    semantics; the reference's literal double-normalized get_chi argument
+    makes |B| ~ 1e6 T and has no golden test - see models/vmec.py chi()).
+    Profiles are the reference's analytic (1 - |s|^1.5)^2
+    (equilibrium.hpp:2150-2172).
+    """
+    ion_masses = (MI_D,)
+    ion_charges = (1,)
+
+    def __init__(self, path):
+        with h5py.File(path, "r") as h:
+            g = lambda n: np.asarray(h[n][...], dtype=np.float64)
+            self.chi_c = np.stack([g(f"chi_c{i}") for i in range(4)])
+            self.rmnc = np.stack([g(f"rmnc_c{i}") for i in range(4)])
+            self.zmns = np.stack([g(f"zmns_c{i}") for i in range(4)])
+            self.lmns = np.stack([g(f"lmns_c{i}") for i in range(4)])
+            self.xm = g("xm")
+            self.xn = g("xn")
+            self.signj = float(g("signj"))
+            self.dphi = float(g("dphi"))
+            self.sminf = float(g("sminf"))
+            self.sminh = float(g("sminh"))
+            self.ds = float(g("ds"))
+
+    @staticmethod
+    def _idx(u, n):
+        return np.clip(np.trunc(u), 0, n - 1).astype(np.int64)
+
+    def _modes(self, c, s, smin):
+        """All per-mode radial polynomials at s: (4, nm, ns), (...) ->
+        (..., nm), raw global-coordinate Horner."""
+        u = (np.asarray(s) - smin) / self.ds
+        i = self._idx(u, c.shape[2])
+        cc = c[:, :, i]                              # (4, nm, ...)
+        c0, c1, c2, c3 = (np.moveaxis(cc[a], 0, -1) for a in range(4))
+        uu = u[..., None]
+        return c0 + uu * (c1 + uu * (c2 + uu * c3))
+
+    def rzl(self, s, u, v):
+        rm = self._modes(self.rmnc, s, self.sminf)
+        zm = self._modes(self.zmns, s, self.sminf)
+        lm = self._modes(self.lmns, s, self.sminh)
+        ang = (self.xm * np.asarray(u)[..., None]
+               - self.xn * np.asarray(v)[..., None])
+        ca, sa = np.cos(ang), np.sin(ang)
+        return ((rm * ca).sum(-1), (zm * sa).sum(-1), (lm * sa).sum(-1))
+
+    def chi(self, s):
+        u = (np.asarray(s) - self.sminf) / self.ds
+        i = self._idx(u, self.chi_c.shape[1])
+        c = self.chi_c[:, i]
+        return c[0] + u * (c[1] + u * (c[2] + u * c[3]))
+
+    def _geo(self, p):
+        """Covariant basis, contravariant basis and B at flux points
+        p = (..., 3); every derivative by 4th-order central FD."""
+        s, u, v = p[..., 0], p[..., 1], p[..., 2]
+        hs = self.ds * 1.0e-4
+        ha = 1.0e-6
+        steps = np.array([-2.0, -1.0, 1.0, 2.0])
+
+        def d4(vals, h):
+            # vals at [-2h, -h, +h, +2h]
+            return (8.0 * (vals[2] - vals[1]) - (vals[3] - vals[0])) \
+                / (12.0 * h)
+
+        R, Z, L = self.rzl(s, u, v)
+
+        def stencil(dim, h):
+            vals = []
+            for st in steps:
+                args = [np.asarray(s, dtype=np.float64).copy(),
+                        np.asarray(u, dtype=np.float64).copy(),
+                        np.asarray(v, dtype=np.float64).copy()]
+                args[dim] = args[dim] + st * h
+                vals.append(self.rzl(*args))
+            return (d4([t[0] for t in vals], h),
+                    d4([t[1] for t in vals], h),
+                    d4([t[2] for t in vals], h))
+
+        dRs, dZs, _ = stencil(0, hs)
+        dRu, dZu, dLu = stencil(1, ha)
+        dRv, dZv, dLv = stencil(2, ha)
+
+        cv, sv = np.cos(v), np.sin(v)
+
+        def rot(a, b, c):
+            return np.stack([a * cv - b * sv, a * sv + b * cv, c], axis=-1)
+
+        zero = np.zeros_like(R)
+        e_s = rot(dRs, zero, dZs)
+        e_u = rot(dRu, zero, dZu)
+        e_v = rot(dRv, R, dZv)
+
+        cuv = np.cross(e_u, e_v)
+        jac = np.sum(e_s * cuv, axis=-1)
+        esup = np.stack([cuv, np.cross(e_v, e_s), np.cross(e_s, e_u)],
+                        axis=-2) / jac[..., None, None]
+
+        dchi = d4([self.chi(s + st * hs) for st in steps], hs)
+        phip = self.signj * self.dphi
+        jbsupu = (dchi - phip * dLv) / jac
+        jbsupv = phip * (1.0 + dLu) / jac
+        b = jbsupu[..., None] * e_u + jbsupv[..., None] * e_v
+        return dict(esup=esup, b=b)
+
+    def esup(self, p):
+        return self._geo(p)["esup"]
+
+    def profile(self, s):
+        return (1.0 - np.abs(s) ** 1.5) ** 2
+
+    def ne(self, p):
+        return 1.0e19 * self.profile(p[..., 0])
+
+    def te(self, p):
+        return 1000.0 * self.profile(p[..., 0])
+
+    def ni(self, i, p):
+        return self.ne(p)
+
+    def ti(self, i, p):
+        return self.te(p)
+
+    def b(self, p):
+        return self._geo(p)["b"]
+
+
+def D_cold_flux(w, kcov, p, eq):
+    """Cold-plasma D as a function of the COVARIANT wave-number components
+    in flux coordinates: F(w, kcov, pos) = D(w, sum_i kcov_i e^i(pos), pos).
+
+    x^i and k_i are canonically conjugate, so the cartesian Hamilton
+    equations applied verbatim to this F (dx/dt = -F_k/F_w,
+    dk/dt = F_x/F_w - i.e. the existing ray_rhs/newton_k/integrate
+    machinery unchanged) ARE the canonical generalized-coordinate ray
+    equations the framework integrates (models/rays.py module docstring);
+    the position derivative automatically includes the basis rotation."""
+    geo = eq._geo(p)        # one geometry pass serves esup AND b
+    kvec = np.einsum("...i,...ij->...j", kcov, geo["esup"])
+    return D_cold_plasma(w, kvec, p, _BoundVmecRef(eq, geo["b"]))
+
+
+class _BoundVmecRef:
+    """Adapter serving a precomputed B so D_cold_flux's single _geo pass
+    covers both the basis (kvec) and the field (dispersion)."""
+
+    def __init__(self, eq, b):
+        self._eq = eq
+        self._b = b
+        self.ion_masses = eq.ion_masses
+        self.ion_charges = eq.ion_charges
+
+    def b(self, p):
+        return self._b
+
+    def ne(self, p):
+        return self._eq.ne(p)
+
+    def te(self, p):
+        return self._eq.te(p)
+
+    def ni(self, i, p):
+        return self._eq.ni(i, p)
+
+    def ti(self, i, p):
+        return self._eq.ti(i, p)
+
+
 # ---------------------------------------------------------------------------
 # referee dispersion relations (published physics; dispersion.hpp:227-1305)
 # ---------------------------------------------------------------------------
@@ -351,6 +535,77 @@ def D_hot_expansion(w, k, p, eq):
             * (1.0 / Z + zeta))
 
 
+def D_hot_full(w, k, p, eq):
+    """Full hot electron plasma D with Landau damping (the same published
+    relation as dispersion.hpp:1099-1199), Z via scipy's MIT-Faddeeva wofz.
+    Holomorphic in k (entire functions of n), so complex k is fine."""
+    b = eq.b(p)
+    blen = np.linalg.norm(b, axis=-1)
+    bhat = b / blen[..., None]
+    ne, te = eq.ne(p), eq.te(p)
+    ve = np.sqrt(2.0 * Q * te / ME) / C
+    ec = wc_of(Q, blen, ME)
+    wpe2 = wpe2_of(ne)
+    P = wpe2 / (w * w)
+    q = P / (2.0 * (1.0 + ec / w))
+    n = k / np.asarray(w)[..., None] if np.ndim(w) else k / w
+    n2 = _dot(n, n)
+    npara = _dot(n, bhat)
+    npara2 = npara * npara
+    nperp2 = n2 - npara2
+    zeta = (1.0 - ec / w) / (npara * ve)
+    Z = 1j * np.sqrt(np.pi) * wofz(zeta)
+    zeta_func = 1.0 + zeta * Z
+    F = ve * zeta * w / (2.0 * npara * ec)
+    isigma = P * Z / (2.0 * npara * ve)
+    q_func = 1.0 - 2.0 * q
+    n_func = n2 + npara2
+    p_func = 1.0 - P
+    gamma5 = n2 * npara2 - (1.0 - q) * n_func + q_func
+    gamma2 = ((n2 - q_func)
+              + P * w / (4.0 * ec * npara2) * (n_func - 2.0 * q_func))
+    gamma1 = (nperp2 * ((1.0 - q) * n2 - q_func)
+              + p_func * (n2 * npara2 - (1.0 - q) * n_func + q_func))
+    gamma0 = (nperp2 * (n2 - 2.0 * q_func)
+              + p_func * (2.0 * q_func - n_func))
+    return (isigma * gamma0 + gamma1
+            + nperp2 * P * w / ec * zeta_func * (gamma2 + gamma5 * F))
+
+
+def gen_rootfind_fixture(name, eq, w, states):
+    """Complex-Newton kamp roots of the FULL hot-plasma D: starting from
+    a = 0, solve D_hot(k + a khat) = 0 for the complex amplitude a
+    (absorption.hpp:145-317 root_finder semantics).  The derivative is a
+    central difference along the real-a direction - legitimate for the
+    full complex derivative because D is holomorphic in a."""
+    out_re, out_im = [], []
+    for p, k in states:
+        khat = k / np.linalg.norm(k)
+        a = 0.0 + 0.0j
+        h = 1.0e-4 * max(1.0, np.linalg.norm(k))
+
+        def f(a_):
+            return D_hot_full(w, (k + a_ * khat)[None], p[None], eq)[0]
+
+        for _ in range(200):
+            d = f(a)
+            df = (8.0 * (f(a + h) - f(a - h))
+                  - (f(a + 2 * h) - f(a - 2 * h))) / (12.0 * h)
+            step = d / df
+            a = a - step
+            if abs(d) < 1.0e-10:
+                break
+        # the framework (and reference) report kamp = |k| + a
+        out_re.append(np.linalg.norm(k) + a.real)
+        out_im.append(a.imag)
+    ps = np.array([s[0] for s in states])
+    ks = np.array([s[1] for s in states])
+    np.savez(FIXTURES / f"{name}.npz", w=np.float64(w), p=ps, k=ks,
+             kamp_re=np.array(out_re), kamp_im=np.array(out_im))
+    print(f"{name}: kamp = {np.array(out_re)} + i {np.array(out_im)}",
+          flush=True)
+
+
 # ---------------------------------------------------------------------------
 # FD machinery, integration, Newton
 # ---------------------------------------------------------------------------
@@ -421,23 +676,59 @@ def newton_k(D, w, p, k, which, eq, tol=1.0e-14, it_max=100):
     return k
 
 
-def integrate(D, w, p0, k0, eq, t_final, n_record, rtol=1.0e-12):
+def integrate(D, w, p0, k0, eq, t_final, n_record, rtol=1.0e-12,
+              fixed_dt=None):
+    """Integrate one ray.  Default: scipy DOP853 at rtol.
+
+    ``fixed_dt``: use classic fixed-step RK4 at that dt instead.  Needed
+    for the SPLINE equilibria (EFIT): the fields are only C2 at cell
+    boundaries, so DOP853's 8th-order error estimator sees a derivative
+    jump at every crossing and rejects steps pathologically (measured:
+    7,883 RHS evaluations for rtol 1e-6 over t=0.5; ~1e6 at rtol 1e-9 -
+    the error at a crossing scales as h^3, so cost grows as tol^(-1/3)
+    instead of tol^(-1/8)).  A fixed dt 25x below the framework's step
+    gives (25)^4 ~ 4e5x smaller RK4 truncation error than the thing being
+    tested, which is what a referee needs; pair with a 2*dt Richardson
+    re-run to certify (gen_analytic_config prints the difference)."""
     ts = np.linspace(0.0, t_final, n_record + 1)
-    sol = solve_ivp(ray_rhs(D, w, eq), (0.0, t_final),
-                    np.concatenate([p0, k0]), method="DOP853",
-                    rtol=rtol, atol=rtol, t_eval=ts, dense_output=False)
-    assert sol.success, sol.message
-    return ts, sol.y.T        # (n_record+1, 6)
+    if fixed_dt is None:
+        sol = solve_ivp(ray_rhs(D, w, eq), (0.0, t_final),
+                        np.concatenate([p0, k0]), method="DOP853",
+                        rtol=rtol, atol=rtol, t_eval=ts,
+                        dense_output=False)
+        assert sol.success, sol.message
+        return ts, sol.y.T        # (n_record+1, 6)
+
+    rhs = ray_rhs(D, w, eq)
+    interval = t_final / n_record
+    n_per = int(round(interval / fixed_dt))
+    assert abs(n_per * fixed_dt - interval) < 1e-12 * max(1.0, interval)
+    y = np.concatenate([p0, k0]).astype(np.float64)
+    traj = [y.copy()]
+    t = 0.0
+    h = fixed_dt
+    for _ in range(n_record):
+        for _ in range(n_per):
+            k1 = rhs(t, y)
+            k2 = rhs(t + 0.5 * h, y + 0.5 * h * k1)
+            k3 = rhs(t + 0.5 * h, y + 0.5 * h * k2)
+            k4 = rhs(t + h, y + h * k3)
+            y = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+            t += h
+        traj.append(y.copy())
+    return ts, np.array(traj)
 
 
-def endpoint_gradient(D, w, p0, k0, eq, t_final, *, wrt, h, rtol=1.0e-12):
+def endpoint_gradient(D, w, p0, k0, eq, t_final, *, wrt, h, rtol=1.0e-12,
+                      fixed_dt=None):
     """d(endpoint xyz)/d(param) by central FD over full re-integrations.
 
     wrt: ("w",), ("p", i) or ("k", i).
     """
 
     def endpoint(wv, pv, kv):
-        _, traj = integrate(D, wv, pv, kv, eq, t_final, 1, rtol=rtol)
+        _, traj = integrate(D, wv, pv, kv, eq, t_final, 1, rtol=rtol,
+                            fixed_dt=fixed_dt)
         return traj[-1, :3]
 
     if wrt[0] == "w":
@@ -457,7 +748,7 @@ def endpoint_gradient(D, w, p0, k0, eq, t_final, *, wrt, h, rtol=1.0e-12):
 
 def gen_analytic_config(name, D, eq, w, p_launch, k_guess, which,
                         t_final, n_record=10, grad_params=(),
-                        rtol=1.0e-12, t_grad=None):
+                        rtol=1.0e-12, t_grad=None, fixed_dt=None):
     """Generate one fixture: Newton roots, trajectories, optional grads.
 
     ``t_grad``: horizon for the endpoint-gradient integrations (defaults
@@ -474,9 +765,18 @@ def gen_analytic_config(name, D, eq, w, p_launch, k_guess, which,
     trajs = []
     for i in range(n):
         ts, traj = integrate(D, w, p_launch[i], k_init[i], eq,
-                             t_final, n_record, rtol=rtol)
+                             t_final, n_record, rtol=rtol,
+                             fixed_dt=fixed_dt)
         trajs.append(traj)
         print(f"{name}: ray {i} end x = {traj[-1, 0]:.6f}", flush=True)
+    if fixed_dt is not None:
+        # Richardson certification: re-run ray 0 at 2*dt; RK4 halving
+        # means the dt-run error is ~(diff / 15)
+        _, traj2 = integrate(D, w, p_launch[0], k_init[0], eq, t_final,
+                             n_record, fixed_dt=2.0 * fixed_dt)
+        diff = float(np.max(np.abs(traj2 - trajs[0])))
+        print(f"{name}: richardson |traj(2dt) - traj(dt)| = {diff:.3e}",
+              flush=True)
     trajs = np.array(trajs)                 # (n, n_record+1, 6)
 
     out = dict(w=np.float64(w), which=np.int64(which),
@@ -489,7 +789,7 @@ def gen_analytic_config(name, D, eq, w, p_launch, k_guess, which,
         t_grad = t_final
     for (wrt, h) in grad_params:
         g = endpoint_gradient(D, w, p_launch[0], k_init[0], eq, t_grad,
-                              wrt=wrt, h=h, rtol=rtol)
+                              wrt=wrt, h=h, rtol=rtol, fixed_dt=fixed_dt)
         key = "grad_" + "_".join(str(v) for v in wrt)
         out[key] = g
         out["t_grad"] = np.float64(t_grad)
@@ -523,10 +823,25 @@ def gen_kamp_fixture(name, eq, w, states):
     print(f"{name}: kamp_im = {np.array(out_im)}", flush=True)
 
 
+def gen_absorption_fixtures(efit):
+    """Absorption goldens at dedicated DAMPING-REGION states: inside the
+    plasma (te ~ 1.5 keV) with a large parallel wave-number component and
+    w = 650 chosen against the local ec ~ 722 so zeta ~ -2.1 - healthy
+    Landau damping (Im kamp ~ 2-3), unlike the nearly-perpendicular
+    trajectory states where e^{-zeta^2} underflows and a golden would
+    compare denormals."""
+    w = 650.0
+    states = [(np.array([2.0, 0.0, z]), np.array([-100.0, -450.0, 50.0]))
+              for z in (-0.1, -0.05, 0.0, 0.05, 0.1, 0.15)]
+    gen_kamp_fixture("golden_kamp_efit", efit, w, states)
+    gen_rootfind_fixture("golden_rootfind_efit", efit, w, states)
+
+
 def main():
     import sys
     only = sys.argv[1] if len(sys.argv) > 1 else None
     efit_path = "/root/reference/graph_tests/efit.nc"
+    vmec_path = "/root/reference/graph_tests/vmec.nc"
 
     if only in (None, "1"):
         # config 1: cold-plasma O-mode, analytic slab density ramp, RK4
@@ -560,9 +875,12 @@ def main():
 
     if only in (None, "3"):
         # config 3: cold plasma in EFIT (bicubic tokamak fields).  rtol
-        # 1e-11: the FD-derivative RHS noise floor (~1e-10 relative) makes
-        # tighter integrator tolerances meaningless, and the spiky bicubic
-        # cell boundaries make them 10x slower.
+        # 1e-9: the FD-derivative RHS noise (~1e-10 relative) plus the
+        # merely-C2 spline cell boundaries make DOP853 at tighter
+        # tolerances reject steps pathologically (measured: rtol 1e-11
+        # burned an hour of CPU without finishing ray 0; 1e-9 integrates
+        # in minutes and its error is still 100x below the 1e-6 parity
+        # tolerance).
         efit = EfitRef(efit_path)
         # launch INSIDE the plasma (x = 2.0, finite kz): at the reference
         # bench's vacuum-edge launch (x = 2.5, |n| = 1) the O and X
@@ -573,18 +891,34 @@ def main():
         k3 = [np.array([-400.0, 0.0, 50.0])] * 3
         cfg3 = gen_analytic_config(
             "golden_config3_efit", D_cold_plasma, efit, 500.0, p3, k3,
-            which=0, t_final=0.5, rtol=1.0e-11, t_grad=0.25,
+            which=0, t_final=0.5, t_grad=0.25, fixed_dt=1.0e-5,
             grad_params=[(("k", 0), 1.0e-3), (("p", 2), 1.0e-6)])
 
-        # kamp golden along the config-3 ray-0 trajectory (vacuum-edge
-        # states excluded: weak damping needs finite kpar and te > 0, so
-        # shift k to add a parallel component as bench.py's absorption
-        # mode does)
-        states = []
-        for row in cfg3["traj"][0][2:8]:
-            p, k = row[:3].copy(), row[3:].copy()
-            states.append((p, k))
-        gen_kamp_fixture("golden_kamp_efit", efit, 500.0, states)
+        gen_absorption_fixtures(efit)
+
+    if only == "kamp":
+        # regenerate just the absorption fixtures (no re-integration)
+        gen_absorption_fixtures(EfitRef(efit_path))
+
+    if only in (None, "4"):
+        # config 4: cold plasma in the VMEC stellarator (3D Fourier-mode
+        # radial-spline fields), integrated in flux coordinates with the
+        # canonical generalized-coordinate ray equations (D_cold_flux).
+        # rtol 3e-9: the doubly-nested FD (basis vectors inside the
+        # ray-equation stencils) floors the RHS accuracy around 1e-9
+        # relative; tighter tolerances only chase that noise (measured:
+        # rtol 1e-10 thrashed for an hour without finishing ray 0).
+        vmec = VmecRef(vmec_path)
+        p4 = [np.array([0.5, u, 0.0]) for u in (0.3, 0.5, 0.7)]
+        k4 = [np.array([500.0, 0.0, 0.0])] * 3
+        gen_analytic_config(
+            "golden_config4_vmec", D_cold_flux, vmec, 900.0, p4, k4,
+            which=0, t_final=4.0e-3, rtol=3.0e-9,
+            # FD steps sized against the integration noise (~1e-9
+            # relative per endpoint): h must satisfy noise/h << grad,
+            # so h = 1e-2 (k ~ 55) and 1e-4 (s ~ 0.5) - at h = 1e-6 the
+            # re-integration noise amplified to ~1% of grad_p
+            grad_params=[(("k", 0), 1.0e-2), (("p", 0), 1.0e-4)])
 
 
 if __name__ == "__main__":
