@@ -309,17 +309,29 @@ def run_grad():
     fused forward+backward step kernel per chip; config 5's reverse-mode
     grads w.r.t. launch params).
 
-    Each recorded step (sub_steps integrator substeps) is wrapped in
-    jax.checkpoint so the backward pass rematerializes substates instead of
-    storing the NUM_STEPS x SUB_STEPS trajectory (HBM: saves one RayState
-    per recorded step only).
+    Remat structure (measured, tools/bench_grad_variants.py on v5e-1):
+    SUBSTEP-level jax.checkpoint (Solver(remat_substeps=True)) + an outer
+    per-recorded-step checkpoint.  The substep granularity keeps the
+    backward's working set in VMEM and measured 2.4x over per-step remat
+    alone (16.4M vs 6.9M ray-steps/s at 100x10); the outer checkpoint
+    bounds residuals to one RayState per recorded step.
+
+    Long traces are split into BENCH_GRAD_SEGMENT-recorded-step segments
+    chained by jax.vjp at the host: this backend kills ANY single launch
+    past roughly a minute of device time (confirmed cause: a forward-only
+    4000-step scan, ~86 s, dies with the same "TPU device error" while
+    the 21 s 1000-step forward and 41 s 500-step fwd+bwd run fine).
+    The chained gradient is mathematically identical;
+    each interior segment costs one extra forward recompute - exactly
+    what one more remat level would cost on-device.
     """
     from graph_framework_tpu.models import dispersion as disp
     from graph_framework_tpu.solver import Solver, init_k
 
     eq, state = _make(jnp.float32)
     sol = Solver(disp.cold_plasma, eq, method="rk4",
-                 dt=1.0 / (NUM_STEPS * SUB_STEPS), sub_steps=SUB_STEPS)
+                 dt=1.0 / (NUM_STEPS * SUB_STEPS), sub_steps=SUB_STEPS,
+                 remat_substeps=True)
 
     t0 = time.perf_counter()
     state = init_k(state, disp.cold_plasma, eq, "kx",
@@ -327,20 +339,41 @@ def run_grad():
     jax.block_until_ready(state)
     t_init = time.perf_counter() - t0
 
+    seg_steps = min(NUM_STEPS,
+                    int(os.environ.get("BENCH_GRAD_SEGMENT", 500)))
+    assert NUM_STEPS % seg_steps == 0, (NUM_STEPS, seg_steps)
+    n_seg = NUM_STEPS // seg_steps
+
     # prevent_cse=False: the checkpointed step sits inside lax.scan, where
     # the CSE-defeating optimization barriers jax.checkpoint inserts by
     # default are documented unnecessary - and they block XLA fusion.
-    step = jax.checkpoint(sol.step_fn(), prevent_cse=False)
+    step = jax.checkpoint(sol.raw_step_fn(), prevent_cse=False)
 
-    def loss(s0):
+    def segment(s0):
         def body(s, _):
             return step(s), None
-        out, _ = jax.lax.scan(body, s0, None, length=NUM_STEPS)
-        # endpoint functional: mean final position/wave-vector magnitude
-        return (jnp.sum(out.x) + jnp.sum(out.y) + jnp.sum(out.z)
-                + jnp.sum(out.kx)) / out.x.shape[0]
+        out, _ = jax.lax.scan(body, s0, None, length=seg_steps)
+        return out
 
-    vg = jax.jit(jax.value_and_grad(loss))
+    def endpoint_loss(s):
+        # endpoint functional: mean final position/wave-vector magnitude
+        return (jnp.sum(s.x) + jnp.sum(s.y) + jnp.sum(s.z)
+                + jnp.sum(s.kx)) / s.x.shape[0]
+
+    seg_fwd = jax.jit(segment)
+    last_vg = jax.jit(jax.value_and_grad(
+        lambda s: endpoint_loss(segment(s))))
+    seg_grad = jax.jit(
+        lambda s, ct: jax.vjp(segment, s)[1](ct)[0])
+
+    def vg(s0):
+        bounds = [s0]
+        for _ in range(n_seg - 1):
+            bounds.append(seg_fwd(bounds[-1]))
+        v, ct = last_vg(bounds[-1])
+        for s in reversed(bounds[:-1]):
+            ct = seg_grad(s, ct)
+        return v, ct
 
     t0 = time.perf_counter()
     v, g = vg(state)
@@ -362,10 +395,17 @@ def run_grad():
     print(json.dumps({
         "metric": f"fwd+bwd ray-steps/s/chip (grad of endpoint w.r.t. "
                   f"launch state, rk4+cold_plasma+{BENCH_EQ.upper()}, "
-                  f"{NUM_RAYS} rays f32)",
+                  f"{NUM_RAYS} rays f32, {NUM_STEPS}x{SUB_STEPS} steps)",
         "value": round(ray_steps_per_s, 1),
         "unit": "ray-steps/s",
         "vs_baseline": round(ray_steps_per_s / BASELINE_RAY_STEPS_PER_S, 4),
+        "detail": {
+            "segments": n_seg, "segment_steps": seg_steps,
+            "remat": "substep+step checkpoint, host-chained vjp segments",
+            "t_init_s": round(t_init, 2),
+            "t_compile_s": round(t_compile, 2),
+            "t_fwd_bwd_s": round(elapsed, 2),
+        },
     }))
     print(f"# init {t_init:.1f}s  compile {t_compile:.1f}s  "
           f"fwd+bwd trace {elapsed:.2f}s  loss {float(v):.5f}  "
@@ -411,9 +451,10 @@ def run_config5():
     def absorbed_power(psi_coeffs, kz0):
         eq = dataclasses.replace(eq0, psi_coeffs=psi_coeffs)
         sol = Solver(disp.cold_plasma, eq, method="rk4",
-                     dt=1.0 / (steps * sub), sub_steps=sub)
+                     dt=1.0 / (steps * sub), sub_steps=sub,
+                     remat_substeps=True)
         kamp_fn = make_weak_damping_split(eq)
-        step = jax.checkpoint(sol.step_fn(), prevent_cse=False)
+        step = jax.checkpoint(sol.raw_step_fn(), prevent_cse=False)
         s0 = state._replace(kz=jnp.full_like(state.kz, kz0))
 
         def body(carry, _):

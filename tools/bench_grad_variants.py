@@ -74,6 +74,28 @@ def main():
                     + jnp.sum(out.kx)) / out.x.shape[0]
         return loss
 
+    def make_chunked_loss(substep_fn, steps, chunk=100):
+        assert steps % chunk == 0
+        step = jax.checkpoint(
+            make_step(jax.checkpoint(substep_fn, prevent_cse=False)),
+            prevent_cse=False)
+
+        def chunk_fn(s):
+            def body(c, _):
+                return step(c), None
+            out, _ = jax.lax.scan(body, s, None, length=chunk)
+            return out
+
+        cfn = jax.checkpoint(chunk_fn, prevent_cse=False)
+
+        def loss(s0):
+            def body(c, _):
+                return cfn(c), None
+            out, _ = jax.lax.scan(body, s0, None, length=steps // chunk)
+            return (jnp.sum(out.x) + jnp.sum(out.y) + jnp.sum(out.z)
+                    + jnp.sum(out.kx)) / out.x.shape[0]
+        return loss
+
     pol = jax.checkpoint_policies
     variants = {
         "fwd": ("fwd", jax.jit(make_loss(make_step(substep)))),
@@ -88,6 +110,13 @@ def main():
             jax.checkpoint(
                 make_step(jax.checkpoint(substep, prevent_cse=False)),
                 prevent_cse=False))))),
+        # chunked: STEPS = outer x 100; 3-level checkpoint (chunk, step,
+        # substep).  The backend fails outright on a length-1000 scan
+        # transpose (remote compile helper crash); two nested scans of
+        # length 10 x 100 compile and keep residual memory at one
+        # RayState per chunk + per step-in-chunk.
+        "remat-chunked": ("vg", jax.jit(jax.value_and_grad(
+            make_chunked_loss(substep, STEPS)))),
         "remat-dots": ("vg", jax.jit(jax.value_and_grad(make_loss(
             jax.checkpoint(make_step(substep), prevent_cse=False,
                            policy=pol.checkpoint_dots))))),
@@ -95,6 +124,11 @@ def main():
             jax.checkpoint(make_step(substep), prevent_cse=False,
                            policy=pol.everything_saveable))))),
     }
+
+    only = os.environ.get("BENCH_VARIANTS")
+    if only:
+        keep = only.split(",")
+        variants = {k: v for k, v in variants.items() if k in keep}
 
     reps = int(os.environ.get("BENCH_GRAD_REPS", 3))
     for name, (kind, fn) in variants.items():

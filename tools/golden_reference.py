@@ -892,7 +892,12 @@ def main():
         cfg3 = gen_analytic_config(
             "golden_config3_efit", D_cold_plasma, efit, 500.0, p3, k3,
             which=0, t_final=0.5, t_grad=0.25, fixed_dt=1.0e-5,
-            grad_params=[(("k", 0), 1.0e-3), (("p", 2), 1.0e-6)])
+            # FD steps sized against the integrators' endpoint error
+            # (~2e-7, Richardson-certified): the FD signal g*h must
+            # dominate it.  h_k = 3 on k ~ 355 (endpoint moves ~2e-4);
+            # h_p = 1e-3 (moves ~1e-3).  At the old h = 1e-3/1e-6 the
+            # noise was 15x the small gradient components.
+            grad_params=[(("k", 0), 3.0), (("p", 2), 1.0e-3)])
 
         gen_absorption_fixtures(efit)
 
