@@ -168,9 +168,19 @@ def _bench_trace(dtype, num_steps):
     jax.block_until_ready(state)
     t_compile = time.perf_counter() - t0
 
+    # f32 keeps async dispatch (validated sane: 21.4 ms/step at 1000
+    # steps); the f64 leg must block per call - the tunneled backend's
+    # pipelined path reported 99 chained f64 steps in 10 ms (impossible;
+    # per-call blocking measures a consistent ~120 ms/step), so its
+    # async timing cannot be trusted for this executable.  Per-call
+    # blocking pays one ~20 ms tunnel round-trip per step: a slight
+    # UNDER-estimate of device throughput, the honest direction.
+    block_each = dtype == jnp.float64
     t0 = time.perf_counter()
     for _ in range(num_steps - 1):
         state = step(state)
+        if block_each:
+            jax.block_until_ready(state)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
     assert state.x.dtype == dtype, state.x.dtype
@@ -271,7 +281,8 @@ def main():
     if "c-split" in DTYPES:
         records["c-split"] = _bench_absorption_split(100)
 
-    head = records.get("f32") or next(iter(records.values()))
+    head_dtype = "f32" if "f32" in records else next(iter(records))
+    head = records[head_dtype]
 
     # -- roofline ----------------------------------------------------------
     kind = jax.devices()[0].device_kind
@@ -293,7 +304,8 @@ def main():
 
     print(json.dumps({
         "metric": f"ray-steps/s/chip (rk4+cold_plasma+{BENCH_EQ.upper()}, "
-                  f"{NUM_RAYS} rays f32, {NUM_STEPS}x{SUB_STEPS} steps)",
+                  f"{NUM_RAYS} rays {head_dtype}, "
+                  f"{head['num_steps']}x{SUB_STEPS} steps)",
         "value": head["ray_steps_per_s"],
         "unit": "ray-steps/s",
         "vs_baseline": round(
