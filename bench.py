@@ -132,8 +132,15 @@ def _make(dtype):
     from graph_framework_tpu.solver import make_ray_state
 
     if BENCH_EQ == "vmec":
-        # BASELINE.json staged config 4: 3D stellarator trace in flux coords
-        eq = make_vmec(VMEC_FILE, dtype=dtype)
+        # BASELINE.json staged config 4: 3D stellarator trace in flux
+        # coords.  BENCH_VMEC_FUSED=1 swaps in the Pallas mode-sum
+        # kernel - measured SLOWER in context (3.38M vs 5.45M
+        # ray-steps/s: the pallas_call is a fusion barrier, so the
+        # fetch-matmul outputs round-trip HBM where XLA otherwise fuses
+        # the Horner+reduces into the matmul epilogue), so default off.
+        fused = (os.environ.get("BENCH_VMEC_FUSED", "0") == "1"
+                 and jax.default_backend() != "cpu")
+        eq = make_vmec(VMEC_FILE, dtype=dtype, fused_mode_sums=fused)
         state = make_ray_state(NUM_RAYS, w=900.0, x=0.5, y=0.5, z=0.0,
                                kx=500.0, ky=0.0, kz=0.0, dtype=dtype)
     else:

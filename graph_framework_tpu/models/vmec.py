@@ -150,6 +150,14 @@ class VmecEquilibrium(Equilibrium):
     ds: float = dataclasses.field(metadata=dict(static=True))
     cell_local: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # Opt-in: fuse the ten Fourier mode sums (trig + products + mode
+    # reductions) into one Pallas kernel (pallas/vmec_modes.py) on the
+    # batched f32 path - the device profile shows ~35% of substep time
+    # in XLA's multiply+reduce fusions there.  Default off: the kernel
+    # requires a TPU (or Pallas interpret mode) and the plain-XLA path
+    # is the portable reference.
+    fused_mode_sums: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
     # replicate the reference's double-normalized chi argument (see chi()).
     quirky_chi: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
@@ -448,6 +456,18 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
         rm_s, zm_s = rzm_s[..., :n_grid], rzm_s[..., n_grid:]
         lm, lm_s = _spline_modes_jet(eq._grid_table(eq.lmns_coeffs), s,
                                      eq.ds, eq.sminh, eq.cell_local)
+        if (eq.fused_mode_sums and jnp.ndim(s) == 1
+                and rm.dtype == jnp.float32):
+            from graph_framework_tpu.pallas.vmec_modes import make_mode_sums
+            ms = make_mode_sums(eq.xm_grid.astype(rm.dtype),
+                                eq.xn_grid.astype(rm.dtype))
+            (r, z, drs, dru, drv, dzs, dzu, dzv,
+             dlu, dlv) = ms(u, v, rm, zm, rm_s, zm_s, lm)
+            zero = jnp.zeros_like(r)
+            # l and dl/ds are not evaluated on this path: the geometry
+            # (esup/B/Jacobian) consumes only dl/du and dl/dv
+            return ((r, z, zero),
+                    ((drs, dru, drv), (dzs, dzu, dzv), (zero, dlu, dlv)))
         ca, sa = _grid_trig(eq.xm_unique, eq.xn_unique, u, v)
         xm = eq.xm_grid.astype(ca.dtype)
         xn = eq.xn_grid.astype(ca.dtype)
@@ -480,7 +500,8 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
     return (r, z, l), (dr, dz, dl)
 
 
-def make_vmec(path, dtype=jnp.float64, cell_local=True, quirky_chi=False):
+def make_vmec(path, dtype=jnp.float64, cell_local=True, quirky_chi=False,
+              fused_mode_sums=False):
     """Load a VMEC spline file (make_vmec, equilibrium.hpp:2424-2651).
 
     ``cell_local``: rebase radial spline tables to cell-local coordinates at
@@ -552,4 +573,5 @@ def make_vmec(path, dtype=jnp.float64, cell_local=True, quirky_chi=False):
             ds=float(arr("ds")),
             cell_local=cell_local,
             quirky_chi=quirky_chi,
+            fused_mode_sums=fused_mode_sums,
         )
