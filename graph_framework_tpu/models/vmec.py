@@ -459,8 +459,11 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
         if (eq.fused_mode_sums and jnp.ndim(s) == 1
                 and rm.dtype == jnp.float32):
             from graph_framework_tpu.pallas.vmec_modes import make_mode_sums
+            # interpret mode off-TPU so the flag path stays testable on
+            # the CPU suite (Mosaic only lowers for TPU)
             ms = make_mode_sums(eq.xm_grid.astype(rm.dtype),
-                                eq.xn_grid.astype(rm.dtype))
+                                eq.xn_grid.astype(rm.dtype),
+                                interpret=jax.default_backend() == "cpu")
             (r, z, drs, dru, drv, dzs, dzu, dzv,
              dlu, dlv) = ms(u, v, rm, zm, rm_s, zm_s, lm)
             zero = jnp.zeros_like(r)

@@ -87,3 +87,35 @@ def test_second_order_ad_through_backward(data):
     g2r = jax.grad(outer_r)(args[0])
     np.testing.assert_allclose(np.asarray(g2f), np.asarray(g2r),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_fused_flag_matches_default_through_geometry(vmec_file=None):
+    """make_vmec(fused_mode_sums=True) reproduces the default XLA path
+    through the full geometry (esup, B) on the batched f32 path - the
+    integration surface the TPU bench flips with BENCH_VMEC_FUSED=1."""
+    import dataclasses
+    from graph_framework_tpu.models.vmec import make_vmec
+
+    path = "/root/reference/graph_tests/vmec.nc"
+    eq = make_vmec(path, dtype=jnp.float32)
+    eqf = dataclasses.replace(eq, fused_mode_sums=True)
+
+    k = jax.random.PRNGKey(3)
+    ks = jax.random.split(k, 3)
+    pos = jnp.stack([
+        jax.random.uniform(ks[0], (64,), jnp.float32, 0.2, 0.8),
+        jax.random.uniform(ks[1], (64,), jnp.float32, 0.0, 6.0),
+        jax.random.uniform(ks[2], (64,), jnp.float32, 0.0, 6.0)])
+
+    g0 = eq._geometry(pos)
+    g1 = eqf._geometry(pos)
+    for key in ("r", "z", "jac"):
+        np.testing.assert_allclose(np.asarray(g1[key]),
+                                   np.asarray(g0[key]),
+                                   rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g1["bvec"]),
+                               np.asarray(g0["bvec"]),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(g1["esup"]),
+                               np.asarray(g0["esup"]),
+                               rtol=5e-3, atol=5e-4)
