@@ -288,7 +288,22 @@ def main():
     if "c-split" in DTYPES:
         records["c-split"] = _bench_absorption_split(100)
 
-    head_dtype = "f32" if "f32" in records else next(iter(records))
+    trace_dtypes = [d for d in ("f32", "f64") if d in records]
+    if not trace_dtypes:
+        # c-split-only sweep: no trace record to headline; report the
+        # absorption metric the way BENCH_MODE=absorption does
+        rec = records["c-split"]
+        print(json.dumps({
+            "metric": f"kamp updates/s/chip (split-complex weak damping, "
+                      f"{BENCH_EQ.upper()}, {NUM_RAYS} rays f32)",
+            "value": rec["kamp_updates_per_s"],
+            "unit": "ray-slices/s",
+            "vs_baseline": round(
+                rec["kamp_updates_per_s"] / BASELINE_RAY_STEPS_PER_S, 4),
+            "detail": rec,
+        }))
+        return
+    head_dtype = trace_dtypes[0]
     head = records[head_dtype]
 
     # -- roofline ----------------------------------------------------------

@@ -103,6 +103,26 @@ class ResultFile:
         ds.attrs["_Netcdf4Dimid"] = np.int32(dimid)
         return ds
 
+    @staticmethod
+    def _patch_reference_list(sc):
+        """Match netcdf-c's REFERENCE_LIST grammar exactly: libhdf5 1.12
+        (which netcdf-c 4.7.4 files like the reference's efit.nc were
+        written with) stores the 'dimension' field as int32, while newer
+        h5py/libhdf5 H5DSattach_scale writes uint32.  Rewritten here so the
+        on-disk fingerprint is identical (tests/test_netcdf4_format.py
+        cross-validates against the genuine netcdf-c file)."""
+        rl = sc.attrs.get("REFERENCE_LIST")
+        if rl is None or rl.dtype["dimension"] == np.dtype("<i4"):
+            return
+        dt = np.dtype({"names": ["dataset", "dimension"],
+                       "formats": [rl.dtype["dataset"], "<i4"],
+                       "offsets": [0, 8], "itemsize": 16})
+        patched = np.empty(rl.shape, dtype=dt)
+        patched["dataset"] = rl["dataset"]
+        patched["dimension"] = rl["dimension"].astype("<i4")
+        del sc.attrs["REFERENCE_LIST"]
+        sc.attrs.create("REFERENCE_LIST", patched, dtype=dt)
+
     def _ray_dim(self):
         """The complex re/im dimension, created on first complex variable
         (output.hpp:221-231 defines it lazily per complex type)."""
@@ -142,6 +162,7 @@ class ResultFile:
             scales.append(self._ray_dim())
         for i, sc in enumerate(scales):
             ds.dims[i].attach_scale(sc)
+            self._patch_reference_list(sc)
         if dsname != name:
             # netcdf-c does NOT add an attribute; the prefix is the marker.
             pass

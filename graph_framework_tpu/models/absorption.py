@@ -262,16 +262,29 @@ def hot_plasma_split(w, kvec_c, pos, t, eq):
             + nperp2 * zeta_func * (gamma2 + gamma5 * F) * (P * w / ec))
 
 
-def make_root_finder_split(eq, *, tolerance=1.0e-12, max_iterations=200):
+def make_root_finder_split(eq, *, tolerance=1.0e-30, max_iterations=1000,
+                           return_diagnostics=False):
     """Complex-free Newton root finder for kamp (the TPU counterpart of
     make_root_finder): solve D_hot(k + kamp khat) = 0 for complex kamp
     carried as (re, im), Newton-updating with the holomorphic derivative
     obtained from one jvp (Cauchy-Riemann: tangent (1, 0) on (re, im)
     yields (Re D', Im D')).
 
-    Returns ``update(state) -> (kamp_re, kamp_im)`` over a real RayState.
+    Convergence follows the converge_item criteria (workflow.hpp:179-205,
+    same loop as ops.newton.newton_solve): iterate until the ensemble-max
+    of |D|^2 drops below ``tolerance``, stagnates, 2-cycle oscillates, or
+    ``max_iterations`` is reached.  Rays whose Newton step is undefined
+    (dD/dkamp -> 0) or non-finite are frozen instead of poisoned - the
+    stagnation criterion then terminates the loop (the reference relies on
+    SAFE_MATH store scrubbing here, absorption.hpp:145-317 +
+    cuda_context.hpp:883-899).
+
+    Returns ``update(state) -> (kamp_re, kamp_im)`` over a real RayState;
+    with ``return_diagnostics=True``, ``update(state) ->
+    ((kamp_re, kamp_im), NewtonDiagnostics)``.
     """
     from graph_framework_tpu.ops.cplx import Cplx
+    from graph_framework_tpu.ops.newton import NewtonDiagnostics
 
     def update(state: RayState):
         if getattr(eq, "supports_batched", eq.is_cartesian)():
@@ -307,20 +320,48 @@ def make_root_finder_split(eq, *, tolerance=1.0e-12, max_iterations=200):
                 return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0))(
                     a_re, a_im, kvec, khat, pos, state.w, state.t)
 
-        def body(carry, _):
-            a_re, a_im = carry
+        def resid_max(a_re, a_im):
+            f_re, f_im = d_split(a_re, a_im)
+            return jnp.max(f_re * f_re + f_im * f_im)
+
+        def cond(carry):
+            a_re, a_im, last, off_last, it = carry
+            cur = resid_max(a_re, a_im)
+            keep = cur > tolerance
+            keep &= jnp.abs(last - cur) > tolerance
+            keep &= jnp.abs(off_last - cur) > tolerance
+            keep &= it < max_iterations
+            return keep
+
+        def body(carry):
+            a_re, a_im, last, off_last, it = carry
+            cur = resid_max(a_re, a_im)
+            new_off = jnp.where(it % 2 == 0, cur, off_last)
             (f_re, f_im), (df_re, df_im) = jax.jvp(
                 d_split, (a_re, a_im), (jnp.ones_like(a_re),
                                         jnp.zeros_like(a_im)))
             f = Cplx(f_re, f_im)
             df = Cplx(df_re, df_im)
             step = f / df
-            return (a_re - step.re, a_im - step.im), None
+            # df -> 0 makes the Newton step undefined; a non-finite step
+            # would poison the ray permanently.  Freeze such rays: the
+            # stagnation criterion then ends the loop.
+            ok = ((df.re * df.re + df.im * df.im) > 0.0) \
+                & jnp.isfinite(step.re) & jnp.isfinite(step.im)
+            a_re_new = jnp.where(ok, a_re - step.re, a_re)
+            a_im_new = jnp.where(ok, a_im - step.im, a_im)
+            return a_re_new, a_im_new, cur, new_off, it + 1
 
         a0 = jnp.zeros_like(state.w)
-        (a_re, a_im), _ = jax.lax.scan(
-            body, (a0, a0), None, length=max_iterations)
-        return klen + a_re, a_im
+        big = jnp.asarray(jnp.finfo(jnp.result_type(a0)).max)
+        a_re, a_im, _, _, it = jax.lax.while_loop(
+            cond, body,
+            (a0, a0, big, big, jnp.asarray(0, dtype=jnp.int32)))
+        res = resid_max(a_re, a_im)
+        out = (klen + a_re, a_im)
+        if return_diagnostics:
+            return out, NewtonDiagnostics(it, res, res <= tolerance)
+        return out
 
     return update
 

@@ -441,6 +441,12 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
     coordinates (polynomials and trig are entire).
 
     Returns ((R, Z, l), (dR, dZ, dl)) with each dX = (d/ds, d/du, d/dv).
+
+    NARROWED CONTRACT under ``eq.fused_mode_sums``: the Pallas kernel
+    evaluates only the 10 sums the geometry consumes, so ``l`` and
+    ``dl/ds`` are returned as zeros on that path (esup/B/Jacobian need
+    only dl/du and dl/dv).  Callers that need l itself (e.g.
+    tools/bench_vmec_micro.py) must use the default path.
     """
     if eq.grid_scatter is not None:
         # rmnc and zmns share the full radial grid: ONE concatenated
@@ -459,11 +465,12 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
         if (eq.fused_mode_sums and jnp.ndim(s) == 1
                 and rm.dtype == jnp.float32):
             from graph_framework_tpu.pallas.vmec_modes import make_mode_sums
-            # interpret mode off-TPU so the flag path stays testable on
-            # the CPU suite (Mosaic only lowers for TPU)
+            # interpret mode on every non-TPU backend (Mosaic only lowers
+            # for TPU) so the flag path stays testable on the CPU suite
+            # and degrades gracefully elsewhere instead of crashing
             ms = make_mode_sums(eq.xm_grid.astype(rm.dtype),
                                 eq.xn_grid.astype(rm.dtype),
-                                interpret=jax.default_backend() == "cpu")
+                                interpret=jax.default_backend() != "tpu")
             (r, z, drs, dru, drv, dzs, dzu, dzv,
              dlu, dlv) = ms(u, v, rm, zm, rm_s, zm_s, lm)
             zero = jnp.zeros_like(r)

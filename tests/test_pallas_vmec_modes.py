@@ -14,6 +14,8 @@ import pytest
 from graph_framework_tpu.pallas.vmec_modes import (
     make_mode_sums, _reference_forward)
 
+VMEC_FILE = "/root/reference/graph_tests/vmec.nc"
+
 M = 90
 N = 257          # deliberately not a multiple of the block (pad path)
 
@@ -89,15 +91,14 @@ def test_second_order_ad_through_backward(data):
                                rtol=1e-9, atol=1e-9)
 
 
-def test_fused_flag_matches_default_through_geometry(vmec_file=None):
+def test_fused_flag_matches_default_through_geometry():
     """make_vmec(fused_mode_sums=True) reproduces the default XLA path
     through the full geometry (esup, B) on the batched f32 path - the
     integration surface the TPU bench flips with BENCH_VMEC_FUSED=1."""
     import dataclasses
     from graph_framework_tpu.models.vmec import make_vmec
 
-    path = "/root/reference/graph_tests/vmec.nc"
-    eq = make_vmec(path, dtype=jnp.float32)
+    eq = make_vmec(VMEC_FILE, dtype=jnp.float32)
     eqf = dataclasses.replace(eq, fused_mode_sums=True)
 
     k = jax.random.PRNGKey(3)
