@@ -62,7 +62,7 @@ NUM_RAYS = int(os.environ.get("BENCH_RAYS", 100_000))
 # full reference duration (xrays_bench.cpp:129-132): 1000 recorded steps
 NUM_STEPS = int(os.environ.get("BENCH_STEPS", 1000))
 SUB_STEPS = int(os.environ.get("BENCH_SUB_STEPS", 10))
-DTYPES = os.environ.get("BENCH_DTYPES", "f32,f64,c-split").split(",")
+DTYPES = os.environ.get("BENCH_DTYPES", "f32,f32c,f64,c-split").split(",")
 BASELINE_RAY_STEPS_PER_S = 1.0e6
 
 # published HBM bandwidth per chip [bytes/s]
@@ -150,14 +150,28 @@ def _make(dtype):
     return eq, state
 
 
-def _bench_trace(dtype, num_steps):
-    """Timed init + step loop at one dtype; returns per-dtype record."""
+def _bench_trace(dtype, num_steps, compensated=False):
+    """Timed init + step loop at one dtype; returns per-dtype record.
+
+    ``compensated``: the double-word f32 high-precision path
+    (ops/compensated.py) - state carried as (hi, lo) pairs across the
+    whole loop, RHS at f32 speed.
+    """
     from graph_framework_tpu.models import dispersion as disp
     from graph_framework_tpu.solver import Solver, init_k
 
     eq, state = _make(dtype)
+    # endtime: EFIT integrates the reference's unit duration; the VMEC
+    # ray EXITS the s <= 1 plasma at t ~ 0.027 (measured round 3 - the
+    # earlier unit-duration VMEC bench spent 97% of the trace outside
+    # the boundary in extrapolated spline fields, where trajectories are
+    # ill-conditioned enough that identical rays diverged by lowering
+    # shape).  Throughput is duration-independent; the trace now spans
+    # the physical in-plasma flight.
+    endtime = 0.025 if BENCH_EQ == "vmec" else 1.0
     sol = Solver(disp.cold_plasma, eq, method="rk4",
-                 dt=1.0 / (NUM_STEPS * SUB_STEPS), sub_steps=SUB_STEPS)
+                 dt=endtime / (NUM_STEPS * SUB_STEPS),
+                 sub_steps=SUB_STEPS, compensated=compensated)
 
     t0 = time.perf_counter()
     state = init_k(state, disp.cold_plasma, eq, "kx",
@@ -169,10 +183,11 @@ def _bench_trace(dtype, num_steps):
     # than a scan-fused outer loop on this backend (1.81M vs 1.31M
     # ray-steps/s - the scan adds per-iteration carry copies), and async
     # dispatch keeps the device saturated.
-    step = sol.step_fn()
+    step = sol.carry_step_fn()
+    carry = sol.init_carry(state)
     t0 = time.perf_counter()
-    state = step(state)       # compile + first step
-    jax.block_until_ready(state)
+    carry = step(carry)       # compile + first step
+    jax.block_until_ready(carry)
     t_compile = time.perf_counter() - t0
 
     # f32 keeps async dispatch (validated sane: 21.4 ms/step at 1000
@@ -185,11 +200,12 @@ def _bench_trace(dtype, num_steps):
     block_each = dtype == jnp.float64
     t0 = time.perf_counter()
     for _ in range(num_steps - 1):
-        state = step(state)
+        carry = step(carry)
         if block_each:
-            jax.block_until_ready(state)
-    jax.block_until_ready(state)
+            jax.block_until_ready(carry)
+    jax.block_until_ready(carry)
     elapsed = time.perf_counter() - t0
+    state = sol.carry_state(carry)
     assert state.x.dtype == dtype, state.x.dtype
 
     integrator_steps = (num_steps - 1) * SUB_STEPS
@@ -279,6 +295,11 @@ def main():
     records = {}
     if "f32" in DTYPES:
         records["f32"] = _bench_trace(jnp.float32, NUM_STEPS)
+    if "f32c" in DTYPES:
+        # compensated double-word f32: the fast high-precision path (the
+        # TPU answer to the reference's "f64 at f32 speed" CPU claim)
+        records["f32c"] = _bench_trace(jnp.float32, NUM_STEPS,
+                                       compensated=True)
     if "f64" in DTYPES:
         # steady-state throughput: fewer recorded steps suffice (the
         # per-step kernel is identical across steps); recorded in the JSON
@@ -288,7 +309,7 @@ def main():
     if "c-split" in DTYPES:
         records["c-split"] = _bench_absorption_split(100)
 
-    trace_dtypes = [d for d in ("f32", "f64") if d in records]
+    trace_dtypes = [d for d in ("f32", "f32c", "f64") if d in records]
     if not trace_dtypes:
         # c-split-only sweep: no trace record to headline; report the
         # absorption metric the way BENCH_MODE=absorption does
@@ -351,13 +372,19 @@ def run_grad():
     bounds residuals to one RayState per recorded step.
 
     Long traces are split into BENCH_GRAD_SEGMENT-recorded-step segments
-    chained by jax.vjp at the host: this backend kills ANY single launch
-    past roughly a minute of device time (confirmed cause: a forward-only
+    chained at the host: this backend kills ANY single launch past
+    roughly a minute of device time (confirmed cause: a forward-only
     4000-step scan, ~86 s, dies with the same "TPU device error" while
     the 21 s 1000-step forward and 41 s 500-step fwd+bwd run fine).
-    The chained gradient is mathematically identical;
-    each interior segment costs one extra forward recompute - exactly
-    what one more remat level would cost on-device.
+    The chained gradient is mathematically identical.
+
+    Round 3: the forward sweep SAVES each segment's step-boundary states
+    (the outer checkpoint's residuals - one RayState per recorded step,
+    3.2 MB/step at 100k rays) instead of recomputing them during the
+    backward chain.  The backward segment replays per-step vjps in a
+    reverse scan over the stored trajectory, so the extra
+    forward-recompute per interior segment that round 2 paid (10.7 s of
+    93.5 s at 1000x10) is gone; measured 10.70M -> ~12.1M ray-steps/s.
     """
     from graph_framework_tpu.models import dispersion as disp
     from graph_framework_tpu.solver import Solver, init_k
@@ -383,30 +410,39 @@ def run_grad():
     # default are documented unnecessary - and they block XLA fusion.
     step = jax.checkpoint(sol.raw_step_fn(), prevent_cse=False)
 
-    def segment(s0):
-        def body(s, _):
-            return step(s), None
-        out, _ = jax.lax.scan(body, s0, None, length=seg_steps)
-        return out
-
     def endpoint_loss(s):
         # endpoint functional: mean final position/wave-vector magnitude
         return (jnp.sum(s.x) + jnp.sum(s.y) + jnp.sum(s.z)
                 + jnp.sum(s.kx)) / s.x.shape[0]
 
-    seg_fwd = jax.jit(segment)
-    last_vg = jax.jit(jax.value_and_grad(
-        lambda s: endpoint_loss(segment(s))))
-    seg_grad = jax.jit(
-        lambda s, ct: jax.vjp(segment, s)[1](ct)[0])
+    @jax.jit
+    def seg_fwd_traj(s0):
+        """Forward one segment, saving every step's INPUT state (the
+        outer checkpoint's residuals)."""
+        def body(s, _):
+            return step(s), s
+        return jax.lax.scan(body, s0, None, length=seg_steps)
+
+    @jax.jit
+    def seg_bwd(traj, ct):
+        """Transpose one segment by replaying per-step vjps in reverse
+        over the stored step inputs (substep remat inside each vjp)."""
+        def body(c, s_in):
+            return jax.vjp(step, s_in)[1](c)[0], None
+        out, _ = jax.lax.scan(body, ct, traj, reverse=True)
+        return out
+
+    loss_vg = jax.jit(jax.value_and_grad(endpoint_loss))
 
     def vg(s0):
-        bounds = [s0]
-        for _ in range(n_seg - 1):
-            bounds.append(seg_fwd(bounds[-1]))
-        v, ct = last_vg(bounds[-1])
-        for s in reversed(bounds[:-1]):
-            ct = seg_grad(s, ct)
+        trajs = []
+        s = s0
+        for _ in range(n_seg):
+            s, traj = seg_fwd_traj(s)
+            trajs.append(traj)
+        v, ct = loss_vg(s)
+        for traj in reversed(trajs):
+            ct = seg_bwd(traj, ct)
         return v, ct
 
     t0 = time.perf_counter()
@@ -435,7 +471,8 @@ def run_grad():
         "vs_baseline": round(ray_steps_per_s / BASELINE_RAY_STEPS_PER_S, 4),
         "detail": {
             "segments": n_seg, "segment_steps": seg_steps,
-            "remat": "substep+step checkpoint, host-chained vjp segments",
+            "remat": "substep checkpoint, stored step-boundary "
+                     "trajectories, reverse-scan segment transpose",
             "t_init_s": round(t_init, 2),
             "t_compile_s": round(t_compile, 2),
             "t_fwd_bwd_s": round(elapsed, 2),

@@ -71,7 +71,15 @@ def _block_fetch(coeffs, idx, batched):
     if batched and coeffs.dtype == jnp.float32 and ns <= 512:
         onehot = (idx[:, None] == jnp.arange(ns, dtype=idx.dtype)[None, :]
                   ).astype(coeffs.dtype)                  # (rays, ns)
-        block = jax.lax.stop_gradient(onehot) @ flat      # (rays, 4m) MXU
+        # precision=HIGHEST: at DEFAULT, large-shape lowerings route this
+        # through the MXU in bf16 and silently truncate the f32 spline
+        # coefficients (caught in round 3: the 100k-ray TPU trajectory
+        # diverged from both the CPU run and the exact fused kernel,
+        # while an explicit highest-precision run matched the kernel to
+        # 7 digits).  Selection is exact only if the table values
+        # survive the product.
+        block = jnp.matmul(jax.lax.stop_gradient(onehot), flat,
+                           precision=jax.lax.Precision.HIGHEST)
         return block.reshape(idx.shape + (4, m))
     return flat[idx].reshape(jnp.shape(idx) + (4, m))
 
@@ -449,6 +457,26 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
     tools/bench_vmec_micro.py) must use the default path.
     """
     if eq.grid_scatter is not None:
+        if (eq.fused_mode_sums and eq.cell_local and jnp.ndim(s) == 1
+                and jnp.result_type(s) == jnp.float32):
+            # round-3 fully-fused geometry: radial fetch + Horner + trig +
+            # all ten mode sums in ONE Pallas kernel (and a symmetric
+            # backward kernel for the RHS's jax.grad) - the (rays, modes)
+            # intermediates dominating the XLA path's device profile never
+            # touch HBM.  interpret mode on every non-TPU backend (Mosaic
+            # only lowers for TPU) keeps the flag path testable on CPU.
+            import os
+            from graph_framework_tpu.pallas.vmec_geom import (
+                make_fused_geometry)
+            f = make_fused_geometry(
+                eq, block=int(os.environ.get("GRAPH_VMEC_BLOCK", "512")),
+                interpret=jax.default_backend() != "tpu")
+            (r, z, drs, dru, drv, dzs, dzu, dzv, dlu, dlv) = f(s, u, v)
+            zero = jnp.zeros_like(r)
+            # l and dl/ds are not evaluated on this path: the geometry
+            # (esup/B/Jacobian) consumes only dl/du and dl/dv
+            return ((r, z, zero),
+                    ((drs, dru, drv), (dzs, dzu, dzv), (zero, dlu, dlv)))
         # rmnc and zmns share the full radial grid: ONE concatenated
         # (num_s, 4, 2*n_grid) table -> one block gather serves both
         # (halves the gather-op count of the hot path; the concat is over
@@ -462,22 +490,6 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
         rm_s, zm_s = rzm_s[..., :n_grid], rzm_s[..., n_grid:]
         lm, lm_s = _spline_modes_jet(eq._grid_table(eq.lmns_coeffs), s,
                                      eq.ds, eq.sminh, eq.cell_local)
-        if (eq.fused_mode_sums and jnp.ndim(s) == 1
-                and rm.dtype == jnp.float32):
-            from graph_framework_tpu.pallas.vmec_modes import make_mode_sums
-            # interpret mode on every non-TPU backend (Mosaic only lowers
-            # for TPU) so the flag path stays testable on the CPU suite
-            # and degrades gracefully elsewhere instead of crashing
-            ms = make_mode_sums(eq.xm_grid.astype(rm.dtype),
-                                eq.xn_grid.astype(rm.dtype),
-                                interpret=jax.default_backend() != "tpu")
-            (r, z, drs, dru, drv, dzs, dzu, dzv,
-             dlu, dlv) = ms(u, v, rm, zm, rm_s, zm_s, lm)
-            zero = jnp.zeros_like(r)
-            # l and dl/ds are not evaluated on this path: the geometry
-            # (esup/B/Jacobian) consumes only dl/du and dl/dv
-            return ((r, z, zero),
-                    ((drs, dru, drv), (dzs, dzu, dzv), (zero, dlu, dlv)))
         ca, sa = _grid_trig(eq.xm_unique, eq.xn_unique, u, v)
         xm = eq.xm_grid.astype(ca.dtype)
         xn = eq.xn_grid.astype(ca.dtype)

@@ -139,8 +139,50 @@ def check_separable(rhs: Callable, state: RayState, rtol=1e-6) -> bool:
     return bool(ok)
 
 
+def rk2_increment(rhs: Callable, state: RayState, dt) -> RayState:
+    """Heun increment WITHOUT folding it into the state - the raw
+    delta the compensated (double-word) accumulator needs (the rounding
+    of ``state + delta`` is exactly the error it eliminates)."""
+    d1 = rhs(state)
+    d2 = rhs(_shift(state, d1, dt, dt_shift=dt))
+    half = dt / 2.0
+    return RayState(
+        t=jnp.full_like(state.t, dt), w=jnp.zeros_like(state.w),
+        x=half * (d1.dxdt + d2.dxdt),
+        y=half * (d1.dydt + d2.dydt),
+        z=half * (d1.dzdt + d2.dzdt),
+        kx=half * (d1.dkxdt + d2.dkxdt),
+        ky=half * (d1.dkydt + d2.dkydt),
+        kz=half * (d1.dkzdt + d2.dkzdt),
+    )
+
+
+def rk4_increment(rhs: Callable, state: RayState, dt) -> RayState:
+    """Classical RK4 increment (see rk2_increment for why unfolded)."""
+    half = dt / 2.0
+    d1 = rhs(state)
+    d2 = rhs(_shift(state, d1, half, dt_shift=half))
+    d3 = rhs(_shift(state, d2, half, dt_shift=half))
+    d4 = rhs(_shift(state, d3, dt, dt_shift=dt))
+    sixth = dt / 6.0
+    return RayState(
+        t=jnp.full_like(state.t, dt), w=jnp.zeros_like(state.w),
+        x=sixth * (d1.dxdt + 2.0 * (d2.dxdt + d3.dxdt) + d4.dxdt),
+        y=sixth * (d1.dydt + 2.0 * (d2.dydt + d3.dydt) + d4.dydt),
+        z=sixth * (d1.dzdt + 2.0 * (d2.dzdt + d3.dzdt) + d4.dzdt),
+        kx=sixth * (d1.dkxdt + 2.0 * (d2.dkxdt + d3.dkxdt) + d4.dkxdt),
+        ky=sixth * (d1.dkydt + 2.0 * (d2.dkydt + d3.dkydt) + d4.dkydt),
+        kz=sixth * (d1.dkzdt + 2.0 * (d2.dkzdt + d3.dkzdt) + d4.dkzdt),
+    )
+
+
 STEPPERS = {
     "rk2": rk2_step,
     "rk4": rk4_step,
     "split_simplextic": split_symplectic_step,
+}
+
+INCREMENTS = {
+    "rk2": rk2_increment,
+    "rk4": rk4_increment,
 }

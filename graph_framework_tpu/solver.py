@@ -100,10 +100,19 @@ class Solver:
     # boundary per *live* recorded step - combine with an outer per-step
     # jax.checkpoint (bench.py run_grad) to bound it for long traces.
     remat_substeps: bool = False
+    # Compensated (double-word) state accumulation: carry the ray state
+    # as (hi, lo) f32 pairs and fold each substep increment in with an
+    # exact TwoSum (ops/compensated.py) - the fast high-precision path on
+    # TPUs, where plain f64 is emulated ~4.8x slower on every op.  Fixed
+    # dt methods, forward tracing only.
+    compensated: bool = False
 
     def __post_init__(self):
         if self.method not in set(STEPPERS) | {"adaptive_rk4"}:
             raise ValueError(f"unknown method {self.method!r}")
+        if self.compensated and self.is_adaptive():
+            raise ValueError("compensated accumulation supports the "
+                             "fixed-dt methods only")
 
     # -- single recorded step (sub_steps integrator steps, jitted) --------
     def is_adaptive(self):
@@ -117,11 +126,18 @@ class Solver:
         if self.is_adaptive():
             from graph_framework_tpu.ops.adaptive import init_adaptive_carry
             return init_adaptive_carry(state, self.dt)
+        if self.compensated:
+            from graph_framework_tpu.ops.compensated import init_comp_carry
+            return init_comp_carry(state)
         return state
 
     @staticmethod
     def carry_state(carry) -> RayState:
-        return carry.state if hasattr(carry, "state") else carry
+        if hasattr(carry, "state"):
+            return carry.state
+        if hasattr(carry, "hi"):
+            return carry.hi
+        return carry
 
     def raw_step_fn(self):
         """UNJITTED recorded step over the integration carry - the pure
@@ -143,6 +159,18 @@ class Solver:
 
             def stepper(s):
                 return STEPPERS[self.method](rhs, s, dt)
+
+        if self.compensated and not self.is_adaptive():
+            from graph_framework_tpu.ops.compensated import (
+                compensated_stepper)
+            from graph_framework_tpu.ops.integrators import INCREMENTS
+            if self.method not in INCREMENTS:
+                raise ValueError(
+                    f"compensated accumulation needs an increment-form "
+                    f"stepper; available: {sorted(INCREMENTS)}")
+            dt = self.dt
+            stepper = compensated_stepper(
+                lambda s: INCREMENTS[self.method](rhs, s, dt))
 
         if self.remat_substeps:
             # prevent_cse=False: the substep sits inside lax.scan, where
@@ -180,11 +208,11 @@ class Solver:
         of one call but starts fresh each call; use run/trace (or
         carry_step_fn) for cross-step persistence."""
         raw = self.raw_step_fn()
-        if not self.is_adaptive():
+        if not (self.is_adaptive() or self.compensated):
             return checked_jit(raw)
 
         def step(state: RayState) -> RayState:
-            return raw(self.init_carry(state)).state
+            return self.carry_state(raw(self.init_carry(state)))
 
         return checked_jit(step)
 

@@ -82,3 +82,52 @@ def test_grad_of_absorbed_power_wrt_launch(efit_file):
     # by up-down symmetry this derivative is ~0; the FD value is pure
     # cancellation noise, so compare with an absolute tolerance.
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-4, atol=1e-9)
+
+
+def test_stored_trajectory_segment_chain_matches_monolithic(efit_file):
+    """bench.py run_grad's round-3 backward structure: forward segments
+    save step-boundary states, backward replays per-step vjps in a
+    reverse scan over the stored trajectory.  The chained gradient must
+    equal the monolithic jax.grad."""
+    eq = make_efit(efit_file, dtype=jnp.float32)
+    st = make_ray_state(8, w=500.0, x=2.5, y=0.0, z=0.0,
+                        kx=-500.0, ky=0.0, kz=0.0, dtype=jnp.float32)
+    st = init_k(st, disp.cold_plasma, eq, "kx", tolerance=1e-8,
+                max_iterations=60)
+    sol = Solver(disp.cold_plasma, eq, method="rk4", dt=1e-6,
+                 sub_steps=2, remat_substeps=True)
+    step = jax.checkpoint(sol.raw_step_fn(), prevent_cse=False)
+    seg_steps, n_seg = 3, 2
+
+    def loss(s):
+        return (jnp.sum(s.x) + jnp.sum(s.kx)) / s.x.shape[0]
+
+    def seg_fwd_traj(s0):
+        def body(s, _):
+            return step(s), s
+        return jax.lax.scan(body, s0, None, length=seg_steps)
+
+    def seg_bwd(traj, ct):
+        def body(c, s_in):
+            return jax.vjp(step, s_in)[1](c)[0], None
+        out, _ = jax.lax.scan(body, ct, traj, reverse=True)
+        return out
+
+    trajs, s = [], st
+    for _ in range(n_seg):
+        s, traj = jax.jit(seg_fwd_traj)(s)
+        trajs.append(traj)
+    _, ct = jax.value_and_grad(loss)(s)
+    for traj in reversed(trajs):
+        ct = jax.jit(seg_bwd)(traj, ct)
+
+    def mono(s0):
+        def body(s, _):
+            return step(s), None
+        out, _ = jax.lax.scan(body, s0, None, length=seg_steps * n_seg)
+        return loss(out)
+
+    want = jax.grad(mono)(st)
+    for g, w, name in zip(ct, want, st._fields):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-8, err_msg=name)

@@ -1,9 +1,11 @@
-"""Capture a device profile of the VMEC RK4 substep and print top ops.
+"""Capture a device profile of the VMEC/EFIT RK4 substep; print top ops.
 
 Writes a jax.profiler trace, then parses the .trace.json.gz for TPU-side
 op durations aggregated by op name prefix.
 
-Run: python tools/profile_vmec.py
+Run: python tools/profile_vmec.py              (VMEC; BENCH_VMEC_FUSED=1
+                                                for the fused kernel path)
+     PROFILE_EQ=efit python tools/profile_vmec.py   (EFIT headline config)
 """
 
 import glob
@@ -26,19 +28,35 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from graph_framework_tpu.models import make_vmec, dispersion as disp
+from graph_framework_tpu.models import make_vmec, make_efit, \
+    dispersion as disp
 from graph_framework_tpu.solver import Solver, make_ray_state
 
 VMEC_FILE = "/root/reference/graph_tests/vmec.nc"
+EFIT_FILE = "/root/reference/graph_tests/efit.nc"
 N = int(os.environ.get("BENCH_RAYS", 100_000))
 LOGDIR = "/tmp/vmec_prof"
 
 
 def main():
-    eq = make_vmec(VMEC_FILE, dtype=jnp.float32)
+    if os.environ.get("PROFILE_EQ", "vmec") == "efit":
+        # the bench headline configuration (bench._make)
+        eq = make_efit(EFIT_FILE, dtype=jnp.float32)
+        state = make_ray_state(N, w=500.0, x=2.5, y=0.0, z=0.0,
+                               kx=-500.0, ky=0.0, kz=0.0,
+                               dtype=jnp.float32)
+        sol = Solver(disp.cold_plasma, eq, method="rk4", dt=1e-4,
+                     sub_steps=10)
+        return run(eq, state, sol)
+    fused = os.environ.get("BENCH_VMEC_FUSED", "0") == "1"
+    eq = make_vmec(VMEC_FILE, dtype=jnp.float32, fused_mode_sums=fused)
     state = make_ray_state(N, w=900.0, x=0.5, y=0.5, z=0.0,
                            kx=54.6, ky=0.0, kz=0.0, dtype=jnp.float32)
     sol = Solver(disp.cold_plasma, eq, method="rk4", dt=2e-7, sub_steps=10)
+    return run(eq, state, sol)
+
+
+def run(eq, state, sol):
     step = sol.step_fn()
     state = step(state)
     jax.block_until_ready(state)
