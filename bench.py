@@ -270,9 +270,80 @@ def _bench_absorption_split(num_slices):
     )
 
 
+def run_korc_bench():
+    """The reference's framework-comparison axis (code_performance.dox:
+    42-60, Comparison.png): 1e8 particles x 1e3 steps of relativistic
+    Boris gyro push, reported as particle-steps/s/chip.  Field is the
+    slab B = z_hat (1 + 0.1 x) (equilibrium.hpp:611-719) - one fused
+    multiply-add per step, cost-equivalent to a uniform field; the push
+    itself is the u'/tau/sigma energy-conserving Boris rotation
+    (xkorc.cpp:87-103).  Steps run as device-scanned chunks dispatched
+    from the host so no single launch approaches the backend's ~1 min
+    watchdog.
+    """
+    from graph_framework_tpu.models.korc import (
+        ParticleState, initialize_gamma, make_boris_step)
+    from graph_framework_tpu.models.equilibrium import make_slab
+
+    n = int(os.environ.get("BENCH_PARTICLES", 100_000_000))
+    steps = int(os.environ.get("BENCH_KORC_STEPS", 1000))
+    chunk = int(os.environ.get("BENCH_KORC_CHUNK", 100))
+    assert steps % chunk == 0
+
+    eq = make_slab()
+    b0 = float(eq.characteristic_field())
+    dt = 0.5
+    state = ParticleState(
+        x=jnp.full(n, 1.7, jnp.float32), y=jnp.zeros(n, jnp.float32),
+        z=jnp.zeros(n, jnp.float32),
+        ux=jnp.zeros(n, jnp.float32),
+        uy=jnp.full(n, 0.99, jnp.float32),
+        uz=jnp.full(n, 0.1, jnp.float32),
+        gamma=jnp.ones(n, jnp.float32))
+    state = jax.jit(initialize_gamma)(state)
+    step = make_boris_step(eq, b0, dt, 1.0)
+
+    @jax.jit
+    def run_chunk(s):
+        def body(s, _):
+            return step(s), None
+        s, _ = jax.lax.scan(body, s, None, length=chunk)
+        return s
+
+    t0 = time.perf_counter()
+    state = jax.block_until_ready(run_chunk(state))
+    t_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(steps // chunk - 1):
+        state = run_chunk(state)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+    done = (steps - chunk) * n
+    pps = done / elapsed
+    print(json.dumps({
+        "metric": f"particle-steps/s/chip (relativistic Boris gyro push, "
+                  f"{n} particles f32, {steps} steps)",
+        "value": round(pps, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(pps / 7.2e9, 4),
+        "detail": {
+            "num_particles": n, "num_steps": steps, "chunk": chunk,
+            "t_compile_s": round(t_compile, 2),
+            "t_steps_s": round(elapsed, 2),
+            "gamma0": float(state.gamma[0]),
+            "baseline_note": "vs_baseline is against the reference "
+                             "README's 7.2e9 particle-steps/s prose "
+                             "figure (M2 Max)",
+        },
+    }))
+
+
 def main():
     if BENCH_MODE == "grad":
         return run_grad()
+    if BENCH_MODE == "korc":
+        return run_korc_bench()
     if BENCH_MODE == "config5":
         return run_config5()
     if BENCH_MODE == "absorption":
