@@ -470,6 +470,7 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
                 make_fused_geometry)
             f = make_fused_geometry(
                 eq, block=int(os.environ.get("GRAPH_VMEC_BLOCK", "512")),
+                split_words=int(os.environ.get("GRAPH_VMEC_SPLIT", "3")),
                 interpret=jax.default_backend() != "tpu")
             (r, z, drs, dru, drv, dzs, dzu, dzv, dlu, dlv) = f(s, u, v)
             zero = jnp.zeros_like(r)

@@ -105,6 +105,16 @@ def _jet_sums(s, u, v, fetch_rz, fetch_lm, xm, xn, geom):
     lms = (l1 + ul_h * (2.0 * l2 + 3.0 * ul_h * l3)) / ds_h
 
     ang = u * xm - v * xn
+    # Cody-Waite range reduction before the hardware trig: |ang| reaches
+    # ~90 here (mode number x unwrapped angle) and TPU cos/sin range
+    # reduction at such arguments costs ~|ang| * eps ~ 5e-6 of phase -
+    # the dominant per-eval noise of the fused path (measured against an
+    # f64 referee, NOTES_r3).  Two-constant 2*pi keeps the wrap exact to
+    # ~1e-7 * k; three cheap VPU ops per element.
+    two_pi_hi = jnp.float32(6.2831855)        # f32(2 pi)
+    two_pi_lo = jnp.float32(-1.7484555e-07)   # 2 pi - f32(2 pi)
+    k = jnp.round(ang * jnp.float32(0.15915494))     # ang / (2 pi)
+    ang = (ang - k * two_pi_hi) - k * two_pi_lo
     ca = jnp.cos(ang)
     sa = jnp.sin(ang)
 
@@ -146,9 +156,9 @@ def _jet_sums(s, u, v, fetch_rz, fetch_lm, xm, xn, geom):
     ]
 
 
-def _jet_kernel(s_ref, u_ref, v_ref, rz0_ref, rz1_ref, rz2_ref,
-                lm0_ref, lm1_ref, lm2_ref, xm_ref, xn_ref,
-                out_ref, *, geom):
+def _jet_kernel(s_ref, u_ref, v_ref, *refs, geom, words):
+    (rz_refs, lm_refs, xm_ref, xn_ref, out_ref) = (
+        refs[:words], refs[words:2 * words], refs[-3], refs[-2], refs[-1])
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, CELLS_PAD), 1)
 
     def make_fetch(refs):
@@ -168,22 +178,24 @@ def _jet_kernel(s_ref, u_ref, v_ref, rz0_ref, rz1_ref, rz2_ref,
         return fetch
 
     sums = _jet_sums(s_ref[...], u_ref[...], v_ref[...],
-                     make_fetch((rz0_ref, rz1_ref, rz2_ref)),
-                     make_fetch((lm0_ref, lm1_ref, lm2_ref)),
+                     make_fetch(rz_refs), make_fetch(lm_refs),
                      xm_ref[...], xn_ref[...], geom)
     cols = _to_cols(sums)
     out_ref[...] = jnp.stack(
         cols + [jnp.zeros_like(cols[0])] * (OUT_PAD - OUT_COLS), axis=-1)
 
 
-def _split3(t):
-    """Split an f32 table into three bf16 words summing back to ~f32
-    precision (8+8+8 mantissa bits)."""
-    t0 = t.astype(jnp.bfloat16)
-    r1 = t - t0.astype(jnp.float32)
-    t1 = r1.astype(jnp.bfloat16)
-    t2 = (r1 - t1.astype(jnp.float32)).astype(jnp.bfloat16)
-    return t0, t1, t2
+def _split_bf16(t, words):
+    """Split an f32 table into ``words`` bf16 words summing back to
+    ~8*words mantissa bits (3 words ~ f32; 4 words removes the residual
+    splitting bias entirely)."""
+    out = []
+    rem = t
+    for _ in range(words):
+        w = rem.astype(jnp.bfloat16)
+        out.append(w)
+        rem = rem - w.astype(jnp.float32)
+    return tuple(out)
 
 
 def _reference_jet(s, u, v, rz, lmt, xm, xn, geom):
@@ -274,7 +286,7 @@ def _to_cols(sums):
 
 
 def make_fused_geometry(eq, *, block=512, interpret=False,
-                        use_pallas=True):
+                        use_pallas=True, split_words=3):
     """Build the custom-jvp fused geometry for one VMEC equilibrium.
 
     Returns ``f(s, u, v) -> (r, z, drs, dru, drv, dzs, dzu, dzv, dlu,
@@ -287,10 +299,10 @@ def make_fused_geometry(eq, *, block=512, interpret=False,
     rz, lmt, xm, xn, ns_f, ns_h, cut_f, cut_h = _pad_tables(eq)
     geom = (float(eq.sminf + cut_f * eq.ds), float(eq.ds), ns_f,
             float(eq.sminh + cut_h * eq.ds), float(eq.ds), ns_h)
-    # the kernel consumes the 3-way bf16 splits; the reference path uses
+    # the kernel consumes the bf16 splits; the reference path uses
     # their exact re-sum so both paths see the same effective tables
-    rz3 = _split3(rz)
-    lm3 = _split3(lmt)
+    rz3 = _split_bf16(rz, split_words)
+    lm3 = _split_bf16(lmt, split_words)
     rz_eff = sum(t.astype(jnp.float32) for t in rz3)
     lm_eff = sum(t.astype(jnp.float32) for t in lm3)
 
@@ -312,12 +324,11 @@ def make_fused_geometry(eq, *, block=512, interpret=False,
                                lambda i: (0, 0))
         mode_spec = pl.BlockSpec((1, MODES_PAD), lambda i: (0, 0))
         out = pl.pallas_call(
-            functools.partial(_jet_kernel, geom=geom),
+            functools.partial(_jet_kernel, geom=geom, words=split_words),
             grid=((n + pad) // block,),
-            in_specs=[ray_spec, ray_spec, ray_spec,
-                      rz_spec, rz_spec, rz_spec,
-                      lm_spec, lm_spec, lm_spec,
-                      mode_spec, mode_spec],
+            in_specs=[ray_spec, ray_spec, ray_spec]
+                     + [rz_spec] * split_words + [lm_spec] * split_words
+                     + [mode_spec, mode_spec],
             out_specs=pl.BlockSpec((block, OUT_PAD), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((n + pad, OUT_PAD),
                                            jnp.float32),
