@@ -73,6 +73,14 @@ def build_parser():
                    help="checkify float checks on the hot kernels: the "
                         "first NaN/inf raises a located error (the "
                         "sanitizer-build equivalent, CMakeLists.txt:104-130)")
+    p.add_argument("--vmec_fused", action="store_true",
+                   help="use the fused Pallas VMEC geometry kernel "
+                        "(f32 production path; ~1.9x trace throughput "
+                        "on TPU; table gradients unavailable)")
+    p.add_argument("--compensated", action="store_true",
+                   help="double-word (hi, lo) f32 state accumulation: "
+                        "the fast high-precision trace path on TPUs "
+                        "(ops/compensated.py); rk2/rk4 only")
     return p
 
 
@@ -95,7 +103,9 @@ def make_equilibrium(args, dtype):
     if name == "efit":
         return make_efit(args.equilibrium_file, dtype=dtype)
     if name == "vmec":
-        return make_vmec(args.equilibrium_file, dtype=dtype)
+        return make_vmec(args.equilibrium_file, dtype=dtype,
+                         fused_mode_sums=getattr(args, "vmec_fused",
+                                                 False))
     return {"no_magnetic_field": make_no_magnetic_field,
             "slab": make_slab,
             "slab_density": make_slab_density,
@@ -160,7 +170,8 @@ def main(argv=None):
     dt = args.endtime / args.num_times
     num_steps = args.num_times // args.sub_steps
     sol = Solver(dfun, eq, method=args.solver, dt=dt,
-                 sub_steps=args.sub_steps)
+                 sub_steps=args.sub_steps,
+                 compensated=args.compensated)
     res = jax.jit(residual_fn(dfun, eq))
 
     if args.print_expressions:

@@ -104,3 +104,24 @@ def test_xrays_rejects_unknown_option():
          "--no_such_option=1"],
         cwd=REPO, capture_output=True, text=True, timeout=120)
     assert proc.returncode != 0
+
+
+def test_xrays_production_flags_vmec(tmp_path):
+    """--vmec_fused (Pallas geometry, interpret mode on CPU) and
+    --compensated (double-word state accumulation) through the CLI: the
+    trace runs, writes the schema, and the endpoint matches the default
+    path at f32 tolerance."""
+    common = ["--dispersion=cold_plasma", "--equilibrium=vmec",
+              "--equilibrium_file=/root/reference/graph_tests/vmec.nc",
+              "--num_rays=4", "--num_times=10", "--sub_steps=5",
+              "--f32", "--init_x_mean=0.5", "--init_y_mean=0.5",
+              "--init_kx_mean=54.6"]
+    default_dir = tmp_path / "d"
+    default_dir.mkdir()
+    out_d, _ = run_xrays(default_dir, *common)
+    out_f, _ = run_xrays(tmp_path, *common, "--vmec_fused",
+                         "--compensated")
+    d = read_all(out_d, ["x", "kx"])
+    f = read_all(out_f, ["x", "kx"])
+    np.testing.assert_allclose(f["x"], d["x"], rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(f["kx"], d["kx"], rtol=5e-4, atol=5e-3)
