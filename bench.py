@@ -133,11 +133,10 @@ def _make(dtype):
 
     if BENCH_EQ == "vmec":
         # BASELINE.json staged config 4: 3D stellarator trace in flux
-        # coords.  BENCH_VMEC_FUSED=1 swaps in the Pallas mode-sum
-        # kernel - measured SLOWER in context (3.38M vs 5.45M
-        # ray-steps/s: the pallas_call is a fusion barrier, so the
-        # fetch-matmul outputs round-trip HBM where XLA otherwise fuses
-        # the Horner+reduces into the matmul epilogue), so default off.
+        # coords.  BENCH_VMEC_FUSED=1 swaps in the round-3 fused
+        # geometry-jet kernel (pallas/vmec_geom.py): 10.01M vs 5.17M
+        # ray-steps/s at full duration (BENCH_VMEC_r03.json).  Opt-in
+        # here so the default record tracks the portable XLA path.
         fused = (os.environ.get("BENCH_VMEC_FUSED", "0") == "1"
                  and jax.default_backend() != "cpu")
         eq = make_vmec(VMEC_FILE, dtype=dtype, fused_mode_sums=fused)
@@ -169,7 +168,8 @@ def _bench_trace(dtype, num_steps, compensated=False):
     # shape).  Throughput is duration-independent; the trace now spans
     # the physical in-plasma flight.
     endtime = 0.025 if BENCH_EQ == "vmec" else 1.0
-    sol = Solver(disp.cold_plasma, eq, method="rk4",
+    method = os.environ.get("BENCH_SOLVER", "rk4")
+    sol = Solver(disp.cold_plasma, eq, method=method,
                  dt=endtime / (NUM_STEPS * SUB_STEPS),
                  sub_steps=SUB_STEPS, compensated=compensated)
 
@@ -210,10 +210,16 @@ def _bench_trace(dtype, num_steps, compensated=False):
 
     integrator_steps = (num_steps - 1) * SUB_STEPS
     rsps = NUM_RAYS * integrator_steps / elapsed
-    flops, nbytes = _cost(sol.raw_step_fn(), state)
+    flops, nbytes = _cost(sol.raw_step_fn(), sol.init_carry(state))
     per = NUM_RAYS * SUB_STEPS
+    # rays leaving the spline domain produce non-finite state (the f64
+    # trajectory exits the EFIT table partway through the full duration;
+    # throughput is unaffected, the artifact records the fraction)
+    finite_frac = float(jnp.mean(jnp.isfinite(state.x)
+                                 .astype(jnp.float32)))
     return dict(
         ray_steps_per_s=round(rsps, 1),
+        finite_fraction=round(finite_frac, 4),
         num_steps=num_steps,
         t_init_s=round(t_init, 2),
         t_compile_s=round(t_compile, 2),
@@ -315,10 +321,17 @@ def run_korc_bench():
     t_compile = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    checks = []
     for _ in range(steps // chunk - 1):
+        # Forced host readback per chunk: on this tunneled backend even
+        # block_until_ready returns before the chained dispatches
+        # actually execute (a 9-chunk 1e8-particle push "timed" 0 s
+        # twice); reading a data value cannot be faked.  One ~20 ms
+        # round-trip per 1.4 s chunk is noise.
         state = run_chunk(state)
-    jax.block_until_ready(state)
+        checks.append(float(state.x[0]))
     elapsed = time.perf_counter() - t0
+    assert len(set(checks)) > 1, "chunks did not advance"
     done = (steps - chunk) * n
     pps = done / elapsed
     print(json.dumps({
@@ -417,7 +430,9 @@ def main():
     }
 
     print(json.dumps({
-        "metric": f"ray-steps/s/chip (rk4+cold_plasma+{BENCH_EQ.upper()}, "
+        "metric": f"ray-steps/s/chip "
+                  f"({os.environ.get('BENCH_SOLVER', 'rk4')}"
+                  f"+cold_plasma+{BENCH_EQ.upper()}, "
                   f"{NUM_RAYS} rays {head_dtype}, "
                   f"{head['num_steps']}x{SUB_STEPS} steps)",
         "value": head["ray_steps_per_s"],
@@ -590,14 +605,14 @@ def run_config5():
     jax.block_until_ready(state)
     t_init = time.perf_counter() - t0
 
-    def absorbed_power(psi_coeffs, kz0):
+    def absorbed_power(psi_coeffs, kz0, batch):
         eq = dataclasses.replace(eq0, psi_coeffs=psi_coeffs)
         sol = Solver(disp.cold_plasma, eq, method="rk4",
                      dt=1.0 / (steps * sub), sub_steps=sub,
                      remat_substeps=True)
         kamp_fn = make_weak_damping_split(eq)
         step = jax.checkpoint(sol.raw_step_fn(), prevent_cse=False)
-        s0 = state._replace(kz=jnp.full_like(state.kz, kz0))
+        s0 = batch._replace(kz=jnp.full_like(batch.kz, kz0))
 
         def body(carry, _):
             s, ksum = carry
@@ -614,18 +629,37 @@ def run_config5():
         power = jnp.exp(-2.0 * jnp.abs(ksum))
         return jnp.sum(1.0 - power)
 
-    vg = jax.jit(jax.value_and_grad(absorbed_power, argnums=(0, 1)))
+    vg = jax.jit(jax.value_and_grad(absorbed_power, argnums=(0, 1, 2)))
+
+    # Ray-batched gradient accumulation: the monolithic 1M-ray reverse
+    # pass needs 58 GB of HBM (measured round 3: reverse-mode residuals
+    # with a 3.9x sublane-padding expansion) against the chip's 15.75 GB.
+    # Rays are independent and the loss is a sum, so grads over ray
+    # batches sum EXACTLY; each batch fits comfortably.
+    nb = int(os.environ.get("BENCH_C5_BATCHES", 8))
+    assert rays % nb == 0
+    bsz = rays // nb
+    batches = [jax.tree.map(lambda a: a[i * bsz:(i + 1) * bsz], state)
+               for i in range(nb)]
+
+    def vg_all(kz0):
+        v = 0.0
+        g_psi = jnp.zeros_like(eq0.psi_coeffs)
+        g_kz = 0.0
+        for b in batches:
+            vb, (gp, gk, _) = vg(eq0.psi_coeffs, kz0, b)
+            v, g_psi, g_kz = v + vb, g_psi + gp, g_kz + gk
+        return v, (g_psi, g_kz)
 
     t0 = time.perf_counter()
-    v, (g_psi, g_kz) = vg(eq0.psi_coeffs, jnp.float32(50.0))
+    v, (g_psi, g_kz) = vg_all(jnp.float32(50.0))
     jax.block_until_ready(g_psi)
     t_compile = time.perf_counter() - t0
 
     reps = max(1, int(os.environ.get("BENCH_GRAD_REPS", 2)))
     # distinct kz0 per rep: same-input dispatches dedupe (remote PJRT)
     t0 = time.perf_counter()
-    outs = [vg(eq0.psi_coeffs, jnp.float32(50.0 + 1e-4 * i))
-            for i in range(reps)]
+    outs = [vg_all(jnp.float32(50.0 + 1e-4 * i)) for i in range(reps)]
     jax.block_until_ready(outs)
     elapsed = (time.perf_counter() - t0) / reps
     v, (g_psi, g_kz) = outs[-1]
@@ -640,6 +674,7 @@ def run_config5():
         "vs_baseline": round(rsps / BASELINE_RAY_STEPS_PER_S, 4),
         "detail": {
             "rays": rays, "steps": steps, "sub_steps": sub,
+            "ray_batches": nb,
             "t_init_s": round(t_init, 2),
             "t_compile_s": round(t_compile, 2),
             "t_fwd_bwd_s": round(elapsed, 2),
