@@ -33,6 +33,7 @@ Env knobs: BENCH_MODE=fwd|grad|absorption|config5, BENCH_EQ=efit|vmec,
 BENCH_RAYS, BENCH_STEPS, BENCH_SUB_STEPS, BENCH_DTYPES, BENCH_GRAD_REPS.
 """
 
+import functools
 import json
 import os
 import pathlib
@@ -295,6 +296,11 @@ def run_korc_bench():
     steps = int(os.environ.get("BENCH_KORC_STEPS", 1000))
     chunk = int(os.environ.get("BENCH_KORC_CHUNK", 100))
     assert steps % chunk == 0
+    # whole Pallas blocks (64 rows x 128 lanes); rounding the ensemble UP
+    # at allocation: a jnp.pad(mode='edge') of an existing ensemble
+    # produced buffers the kernel ran 30x slower on (measured; the
+    # reported n stays the padded count either way)
+    n = ((n + 64 * 128 - 1) // (64 * 128)) * (64 * 128)
 
     eq = make_slab()
     b0 = float(eq.characteristic_field())
@@ -307,14 +313,34 @@ def run_korc_bench():
         uz=jnp.full(n, 0.1, jnp.float32),
         gamma=jnp.ones(n, jnp.float32))
     state = jax.jit(initialize_gamma)(state)
-    step = make_boris_step(eq, b0, dt, 1.0)
 
-    @jax.jit
-    def run_chunk(s):
-        def body(s, _):
-            return step(s), None
-        s, _ = jax.lax.scan(body, s, None, length=chunk)
-        return s
+    use_pallas = (os.environ.get("BENCH_KORC_PALLAS", "1") == "1"
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        # multi-step VMEM-resident kernel (pallas/boris.py): the XLA
+        # scan round-trips the state through HBM every step (16.4 ms at
+        # 1e8 particles, 2.8x the bandwidth floor); the kernel advances
+        # the whole chunk per round trip
+        from graph_framework_tpu.pallas.boris import make_slab_push
+        push = jax.jit(make_slab_push(dt=dt, b0=b0, b1=1.0, b_shear=0.1,
+                                      steps=chunk))
+
+        # donate the state: without it every chunk allocates 6 fresh
+        # 400 MB buffers and the allocator churn makes chunk walltime
+        # vary 4.4 s .. 127 s run-to-run for identical programs
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run_chunk(s):
+            x, y, z, ux, uy, uz = push(s.x, s.y, s.z, s.ux, s.uy, s.uz)
+            return ParticleState(x, y, z, ux, uy, uz, s.gamma)
+    else:
+        step = make_boris_step(eq, b0, dt, 1.0)
+
+        @jax.jit
+        def run_chunk(s):
+            def body(s, _):
+                return step(s), None
+            s, _ = jax.lax.scan(body, s, None, length=chunk)
+            return s
 
     t0 = time.perf_counter()
     state = jax.block_until_ready(run_chunk(state))
@@ -331,7 +357,8 @@ def run_korc_bench():
         state = run_chunk(state)
         checks.append(float(state.x[0]))
     elapsed = time.perf_counter() - t0
-    assert len(set(checks)) > 1, "chunks did not advance"
+    assert len(checks) < 2 or len(set(checks)) > 1, \
+        "chunks did not advance"
     done = (steps - chunk) * n
     pps = done / elapsed
     print(json.dumps({
@@ -342,6 +369,7 @@ def run_korc_bench():
         "vs_baseline": round(pps / 7.2e9, 4),
         "detail": {
             "num_particles": n, "num_steps": steps, "chunk": chunk,
+            "pallas_multistep_kernel": use_pallas,
             "t_compile_s": round(t_compile, 2),
             "t_steps_s": round(elapsed, 2),
             "gamma0": float(state.gamma[0]),

@@ -63,3 +63,10 @@ def test_bench_absorption_contract():
     rec = _run({"BENCH_MODE": "absorption"})
     assert rec["metric"].startswith("kamp updates")
     assert rec["unit"] == "ray-slices/s"
+
+
+def test_bench_korc_contract():
+    rec = _run({"BENCH_MODE": "korc", "BENCH_PARTICLES": "8192",
+                "BENCH_KORC_STEPS": "20", "BENCH_KORC_CHUNK": "10"})
+    assert "particle-steps/s" in rec["unit"]
+    assert rec["detail"]["pallas_multistep_kernel"] is False  # CPU run
