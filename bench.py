@@ -506,7 +506,8 @@ def run_grad():
     eq, state = _make(jnp.float32)
     sol = Solver(disp.cold_plasma, eq, method="rk4",
                  dt=1.0 / (NUM_STEPS * SUB_STEPS), sub_steps=SUB_STEPS,
-                 remat_substeps=True)
+                 remat_substeps=True,
+                 remat_policy=os.environ.get("BENCH_GRAD_POLICY") or None)
 
     t0 = time.perf_counter()
     state = init_k(state, disp.cold_plasma, eq, "kx",

@@ -178,6 +178,14 @@ class EfitEquilibrium(Equilibrium):
             self.psi_coeffs, r, self.dr, self.rmin, z, self.dz, self.zmin,
             local=self.cell_local)
         ne, te, pres, fpol = self.profiles(psi_val)
+        # named for remat policies: Solver(remat_policy="spline_jet")
+        # saves these gather products so a surrounding checkpoint's
+        # backward recompute skips the gather-heavy table reads (the
+        # 56%-of-substep fusion block, NOTES_r3 profile account)
+        from jax.ad_checkpoint import checkpoint_name
+        psi_val, dpsi_dr, dpsi_dz, ne, te, pres, fpol = [
+            checkpoint_name(a, "spline_jet")
+            for a in (psi_val, dpsi_dr, dpsi_dz, ne, te, pres, fpol)]
 
         br = dpsi_dz / r
         bp = fpol / r

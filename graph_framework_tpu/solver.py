@@ -100,6 +100,15 @@ class Solver:
     # boundary per *live* recorded step - combine with an outer per-step
     # jax.checkpoint (bench.py run_grad) to bound it for long traces.
     remat_substeps: bool = False
+    # Named-residual remat policy for the substep checkpoints:
+    # "spline_jet" saves the EFIT gather products (see
+    # models/efit.plasma_quantities) so backward recomputes skip the
+    # gather-heavy reads.  None = save nothing (pure recompute).
+    # MEASURED (v5e-1, full-duration grad bench): spline_jet is a
+    # negative result - 11.65M vs 12.15M ray-steps/s - storing 7 named
+    # arrays per RHS costs more HBM traffic than the in-fusion gather
+    # recompute saves.  Kept as capability; default None is fastest.
+    remat_policy: Optional[str] = None
     # Compensated (double-word) state accumulation: carry the ray state
     # as (hi, lo) f32 pairs and fold each substep increment in with an
     # exact TwoSum (ops/compensated.py) - the fast high-precision path on
@@ -173,10 +182,17 @@ class Solver:
                 lambda s: INCREMENTS[self.method](rhs, s, dt))
 
         if self.remat_substeps:
+            policy = None
+            if self.remat_policy == "spline_jet":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "spline_jet")
+            elif self.remat_policy is not None:
+                raise ValueError(self.remat_policy)
             # prevent_cse=False: the substep sits inside lax.scan, where
             # checkpoint's CSE-defeating barriers are documented
             # unnecessary - and they block XLA fusion.
-            stepper = jax.checkpoint(stepper, prevent_cse=False)
+            stepper = jax.checkpoint(stepper, prevent_cse=False,
+                                     policy=policy)
 
         sub = self.sub_steps
 

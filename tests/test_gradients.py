@@ -131,3 +131,34 @@ def test_stored_trajectory_segment_chain_matches_monolithic(efit_file):
     for g, w, name in zip(ct, want, st._fields):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-5, atol=1e-8, err_msg=name)
+
+
+def test_remat_policy_spline_jet_matches_default(efit_file):
+    """Solver(remat_policy='spline_jet') saves the named gather products
+    during backward recompute; gradients must be identical to the
+    save-nothing policy."""
+    eq = make_efit(efit_file, dtype=jnp.float32)
+    st = make_ray_state(8, w=500.0, x=2.5, y=0.0, z=0.0,
+                        kx=-500.0, ky=0.0, kz=0.0, dtype=jnp.float32)
+    st = init_k(st, disp.cold_plasma, eq, "kx", tolerance=1e-8,
+                max_iterations=60)
+
+    def loss_for(policy):
+        sol = Solver(disp.cold_plasma, eq, method="rk4", dt=1e-6,
+                     sub_steps=2, remat_substeps=True,
+                     remat_policy=policy)
+        step = sol.raw_step_fn()
+
+        def loss(s):
+            def body(c, _):
+                return step(c), None
+            out, _ = jax.lax.scan(body, s, None, length=4)
+            return jnp.sum(out.x) + jnp.sum(out.kx)
+
+        return jax.grad(loss)(st)
+
+    g0 = loss_for(None)
+    g1 = loss_for("spline_jet")
+    for a, b, name in zip(g0, g1, st._fields):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-9, err_msg=name)
