@@ -29,8 +29,12 @@ vs_baseline normalizes against 1e6 ray-steps/s/chip - the order of the
 reference's single-A100 throughput inferred from its "800x one CPU core"
 claim (code_performance.dox:27-30); no absolute numbers are published.
 
-Env knobs: BENCH_MODE=fwd|grad|absorption|config5, BENCH_EQ=efit|vmec,
-BENCH_RAYS, BENCH_STEPS, BENCH_SUB_STEPS, BENCH_DTYPES, BENCH_GRAD_REPS.
+Env knobs: BENCH_MODE=fwd|grad|absorption|config5|korc,
+BENCH_EQ=efit|vmec, BENCH_SOLVER=rk4|rk2, BENCH_RAYS, BENCH_STEPS,
+BENCH_SUB_STEPS, BENCH_DTYPES (f32,f32c,f64,c-split), BENCH_VMEC_FUSED,
+GRAPH_VMEC_BLOCK/SPLIT, BENCH_GRAD_REPS, BENCH_GRAD_SEGMENT,
+BENCH_GRAD_POLICY, BENCH_C5_BATCHES, BENCH_PARTICLES, BENCH_KORC_STEPS,
+BENCH_KORC_CHUNK, BENCH_KORC_PALLAS.
 """
 
 import functools
