@@ -28,7 +28,7 @@ def test_two_sum_exact():
 
 
 def _trace(efit_file, dtype=jnp.float32, compensated=False, steps=200,
-           sub_steps=5):
+           sub_steps=5, method="rk4"):
     eq = make_efit(efit_file, dtype=dtype)
     st = make_ray_state(4, w=500.0, x=2.5, y=0.0, z=0.0,
                         kx=-500.0, ky=0.0, kz=100.0, dtype=dtype)
@@ -38,7 +38,7 @@ def _trace(efit_file, dtype=jnp.float32, compensated=False, steps=200,
         # identical f32 launch state for both f32 variants: re-derive from
         # the f64 Newton solve so the comparison isolates the trace
         st = jax.tree.map(lambda a: a.astype(jnp.float32), st)
-    sol = Solver(disp.cold_plasma, eq, method="rk4", dt=1e-6,
+    sol = Solver(disp.cold_plasma, eq, method=method, dt=1e-6,
                  sub_steps=sub_steps, compensated=compensated)
     fin, carry = sol.run(st, steps, return_carry=True)
     if compensated:
@@ -46,12 +46,14 @@ def _trace(efit_file, dtype=jnp.float32, compensated=False, steps=200,
     return jax.tree.map(lambda a: a.astype(jnp.float64), fin)
 
 
-def test_compensated_beats_plain_f32(efit_file):
-    """Endpoint error vs the f64 trace: compensated f32 must recover at
-    least 10x of the plain-f32 drift on a 1000-substep EFIT trace."""
-    ref = _trace(efit_file, dtype=jnp.float64)
-    plain = _trace(efit_file, compensated=False)
-    comp = _trace(efit_file, compensated=True)
+@pytest.mark.parametrize("method", ["rk4", "rk2"])
+def test_compensated_beats_plain_f32(efit_file, method):
+    """Endpoint error vs the f64 trace of the SAME integrator:
+    compensated f32 must recover at least 10x of the plain-f32 drift on
+    a 1000-substep EFIT trace (both increment-form steppers)."""
+    ref = _trace(efit_file, dtype=jnp.float64, method=method)
+    plain = _trace(efit_file, compensated=False, method=method)
+    comp = _trace(efit_file, compensated=True, method=method)
 
     def err(t):
         return max(float(jnp.max(jnp.abs(getattr(t, f)
