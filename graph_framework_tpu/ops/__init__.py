@@ -11,3 +11,9 @@ from graph_framework_tpu.ops.spline import (  # noqa: F401
     eval_cubic_1d,
     eval_bicubic_2d,
 )
+from graph_framework_tpu.ops.compensated import (  # noqa: F401
+    CompCarry,
+    init_comp_carry,
+    comp_state_f64,
+    compensated_stepper,
+)

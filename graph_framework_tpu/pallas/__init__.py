@@ -1,7 +1,21 @@
 """Pallas TPU kernels.
 
-Status of the Pallas investigation for this framework (measured on the
-v5e backend, see commit history):
+Round-3 state: TWO production kernels shipped -
+
+* ``vmec_geom.make_fused_geometry`` - the fused VMEC geometry-jet kernel
+  (radial one-hot MXU fetch + Horner + trig + all 27 jet sums in one
+  kernel per RHS, custom-jvp jet-linear AD): 10.01M vs 5.17M
+  ray-steps/s at full duration (BENCH_VMEC_r03.json).
+* ``boris.make_slab_push`` - the multi-step Boris push (particle block
+  VMEM-resident for a whole step chunk): 21.6G vs 6.1G particle-steps/s
+  (BENCH_KORC_r03.json).
+
+The winning pattern, against the round-1/2 negatives below: move the
+WHOLE producer-consumer chain inside the kernel (or many steps per HBM
+round trip); a kernel whose fat inputs are still computed outside turns
+pallas_call into a fusion barrier and loses to XLA.
+
+Earlier findings that still stand (measured on the v5e backend):
 
 * The ray-tracing hot loop is dominated by spline-coefficient gathers.
   Mosaic lowers only same-shape shuffle gathers, so a VMEM-table
@@ -22,3 +36,6 @@ v5e backend, see commit history):
 """
 
 from graph_framework_tpu.pallas.deposit import deposit_pallas  # noqa: F401
+from graph_framework_tpu.pallas.vmec_geom import (  # noqa: F401
+    make_fused_geometry)
+from graph_framework_tpu.pallas.boris import make_slab_push  # noqa: F401
