@@ -369,37 +369,63 @@ def make_root_finder_split(eq, *, tolerance=1.0e-30, max_iterations=1000,
 def run_absorption(file, eq, method="weak_damping", *,
                    dtype=jnp.complex128, writer=None,
                    update_fn: Optional[Callable] = None,
-                   safe_math: bool = True):
+                   safe_math: bool = True,
+                   split: Optional[bool] = None):
     """Drive a kamp update over every timestep of a trace result file
     (the reference's per-time_index read/run/write loop,
     absorption.hpp:465-483, xrays.cpp:551-585).
 
     Appends a complex "kamp" variable to the file.
+
+    ``split``: use the complex-free (re, im) TPU kernels
+    (make_weak_damping_split / make_root_finder_split) instead of the
+    native-complex ones.  Default: auto - True on the TPU backend, where
+    complex dtypes are UNIMPLEMENTED and the native path would crash the
+    CLI's phase 2.  The complex combination and SAFE_MATH scrub then
+    happen host-side in numpy.
     """
-    update = update_fn or (
-        make_weak_damping(eq) if method == "weak_damping"
-        else make_root_finder(eq))
-    update = jax.jit(update)
+    import numpy as np
+
+    if split is None:
+        split = update_fn is None and jax.default_backend() == "tpu"
+
+    if split:
+        real_dtype = jnp.float32
+        upd = jax.jit(
+            make_weak_damping_split(eq) if method == "weak_damping"
+            else make_root_finder_split(eq))
+
+        def update(state):
+            re, im = upd(state)
+            return np.asarray(re) + 1j * np.asarray(im)
+    else:
+        real_dtype = dtype
+        update = jax.jit(update_fn or (
+            make_weak_damping(eq) if method == "weak_damping"
+            else make_root_finder(eq)))
 
     file.create_variable("kamp", complex_valued=True)
     names = ["time", "w", "x", "y", "z", "kx", "ky", "kz"]
     for i in range(file.num_steps):
         row = file.read_step(i, names)
         state = RayState(
-            t=jnp.asarray(row["time"], dtype=dtype),
-            w=jnp.asarray(row["w"], dtype=dtype),
-            x=jnp.asarray(row["x"], dtype=dtype),
-            y=jnp.asarray(row["y"], dtype=dtype),
-            z=jnp.asarray(row["z"], dtype=dtype),
-            kx=jnp.asarray(row["kx"], dtype=dtype),
-            ky=jnp.asarray(row["ky"], dtype=dtype),
-            kz=jnp.asarray(row["kz"], dtype=dtype))
+            t=jnp.asarray(row["time"], dtype=real_dtype),
+            w=jnp.asarray(row["w"], dtype=real_dtype),
+            x=jnp.asarray(row["x"], dtype=real_dtype),
+            y=jnp.asarray(row["y"], dtype=real_dtype),
+            z=jnp.asarray(row["z"], dtype=real_dtype),
+            kx=jnp.asarray(row["kx"], dtype=real_dtype),
+            ky=jnp.asarray(row["ky"], dtype=real_dtype),
+            kz=jnp.asarray(row["kz"], dtype=real_dtype))
         kamp = update(state)
         if safe_math:
             # SAFE_MATH store scrubbing (cuda_context.hpp:883-899): the
             # reference's complex phase replaces non-finite stores with 0.
             kamp = jnp.where(jnp.isfinite(kamp.real)
-                             & jnp.isfinite(kamp.imag), kamp, 0.0)
+                             & jnp.isfinite(kamp.imag), kamp, 0.0) \
+                if not split else np.where(
+                    np.isfinite(kamp.real) & np.isfinite(kamp.imag),
+                    kamp, 0.0)
         target = writer or file
         target.write_step(i, {"kamp": kamp})
     if writer is not None:

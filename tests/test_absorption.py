@@ -217,3 +217,43 @@ def test_split_root_finder_nonconvergence_surfaced():
     assert int(diag.iterations) == 50
     assert np.isfinite(np.asarray(kr)).all()
     assert np.isfinite(np.asarray(ki)).all()
+
+
+def test_run_absorption_split_matches_native(tmp_path):
+    """The split=True run_absorption path (what the TPU backend auto-
+    selects for the CLI's phase 2) writes the same kamp as the native-
+    complex path, at f32 tolerance."""
+    import jax.numpy as jnp
+    from graph_framework_tpu.io.output import ResultFile
+    from graph_framework_tpu.models.absorption import run_absorption
+
+    eq = make_slab()
+    n, steps = 6, 3
+    rng = np.random.default_rng(0)
+
+    def write_trace(path):
+        with ResultFile(path, num_rays=n) as f:
+            for name in ("time", "w", "x", "y", "z", "kx", "ky", "kz"):
+                f.create_variable(name)
+            for i in range(steps):
+                f.write_step(i, {
+                    "time": np.full(n, i * 1e-4), "w": np.full(n, 600.0),
+                    "x": np.full(n, 0.1) + 0.01 * i,
+                    "y": np.zeros(n), "z": np.zeros(n),
+                    "kx": np.full(n, 50.0), "ky": np.zeros(n),
+                    "kz": np.full(n, 500.0)})
+        return path
+
+    p_native = write_trace(tmp_path / "native.nc")
+    p_split = write_trace(tmp_path / "split.nc")
+    with ResultFile(p_native, mode="r+") as f:
+        run_absorption(f, eq, split=False)
+        k_native = np.stack([
+            f.read_step(i, ["kamp"], complex_valued=True)["kamp"]
+            for i in range(steps)])
+    with ResultFile(p_split, mode="r+") as f:
+        run_absorption(f, eq, split=True)
+        k_split = np.stack([
+            f.read_step(i, ["kamp"], complex_valued=True)["kamp"]
+            for i in range(steps)])
+    np.testing.assert_allclose(k_split, k_native, rtol=1e-5, atol=1e-6)
