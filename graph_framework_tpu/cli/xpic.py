@@ -13,6 +13,10 @@ def main(argv=None):
     p.add_argument("--num_steps", type=int, default=1000)
     p.add_argument("--dt", type=float, default=1.0e-5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--deposit", choices=["dense", "pallas"],
+                   default="dense",
+                   help="field deposit: XLA dense scan or the fused "
+                        "Pallas kernel (pallas/deposit.py)")
     p.add_argument("--particles_output", default="pic_particles.nc")
     p.add_argument("--fields_output", default="pic_fields.nc")
     args = p.parse_args(argv)
@@ -29,7 +33,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     st = pic.run_pic(num_particles=args.num_particles,
                      num_grid=args.num_grid, num_steps=args.num_steps,
-                     dt=args.dt, seed=args.seed)
+                     dt=args.dt, seed=args.seed,
+                     deposit_method=args.deposit)
     jax.block_until_ready(st)
     el = time.perf_counter() - t0
     print(f"Run Time: {el:.2f}s = "

@@ -40,14 +40,24 @@ def plasma_frequency_squared(n, q, m):
     Matches ``dispersion::build_plasma_frequency``
     (dispersion.hpp:324-333): the reference returns n*q*q/(epsilon0*m*c*c),
     i.e. (wp/c)^2 in 1/m^2.
+
+    The scalar factor q^2/(eps0 m c^2) is folded in PYTHON f64 before it
+    enters the trace.  Leaving q*q (2.6e-38) and eps0*m*c*c as separate
+    f32 graph constants invites XLA's algebraic simplifier to reassociate
+    them into intermediates below the f32 normal range: measured on
+    XLA:CPU, grad of (q b/(m c))^2/w^2 rewrote to (q b)^2/((m c)^2 w^2)
+    whose (m c)^2 = 7.5e-44 underflows -> inf -> NaN through the whole
+    ray RHS (round-4 find; eager mode and f64 were unaffected).
     """
-    return n * q * q / (EPSILON0 * m * C * C)
+    return n * (q * q / (EPSILON0 * m * C * C))
 
 
 def cyclotron_frequency(q, b, m):
     """Normalized cyclotron frequency: wc' = q B / (m c).
 
     Matches ``dispersion::build_cyclotron_frequency`` (dispersion.hpp:346-353).
-    Note electrons pass a *negative* charge.
+    Note electrons pass a *negative* charge.  q/(m c) is folded in Python
+    f64 first - see ``plasma_frequency_squared`` for the f32 underflow
+    this prevents.
     """
-    return q * b / (m * C)
+    return b * (q / (m * C))

@@ -144,7 +144,7 @@ def make_weak_damping_split(eq):
         bhat = b / b_len
         ne = eq.electron_density(pos)
         te = eq.electron_temperature(pos)
-        ve = jnp.sqrt(2.0 * Q * te / ME)
+        ve = jnp.sqrt(te * (2.0 * Q / ME))
         ec = cyclotron_frequency(Q, b_len, ME)
         wpe2 = plasma_frequency_squared(ne, Q, ME)
         P = wpe2 / (w * w)
@@ -227,7 +227,7 @@ def hot_plasma_split(w, kvec_c, pos, t, eq):
     bhat = b / b_len
     ne = eq.electron_density(pos)
     te = eq.electron_temperature(pos)
-    ve = jnp.sqrt(2.0 * Q * te / ME) / C
+    ve = jnp.sqrt(te * (2.0 * Q / (ME * C * C)))
     ec = cyclotron_frequency(Q, b_len, ME)
     wpe2 = plasma_frequency_squared(ne, Q, ME)
 
@@ -320,26 +320,16 @@ def make_root_finder_split(eq, *, tolerance=1.0e-30, max_iterations=1000,
                 return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0))(
                     a_re, a_im, kvec, khat, pos, state.w, state.t)
 
-        def resid_max(a_re, a_im):
-            f_re, f_im = d_split(a_re, a_im)
-            return jnp.max(f_re * f_re + f_im * f_im)
-
-        def cond(carry):
-            a_re, a_im, last, off_last, it = carry
-            cur = resid_max(a_re, a_im)
-            keep = cur > tolerance
-            keep &= jnp.abs(last - cur) > tolerance
-            keep &= jnp.abs(off_last - cur) > tolerance
-            keep &= it < max_iterations
-            return keep
-
-        def body(carry):
-            a_re, a_im, last, off_last, it = carry
-            cur = resid_max(a_re, a_im)
-            new_off = jnp.where(it % 2 == 0, cur, off_last)
+        def eval_and_update(a_re, a_im):
+            """One 'kernel call' in the reference's sense: a single fused
+            evaluation producing the residual at (a_re, a_im) AND the
+            Newton-updated point (the converge_item's kernel computes the
+            residual output and applies the setter maps in one launch, so
+            the loop costs ONE dispersion evaluation per iteration)."""
             (f_re, f_im), (df_re, df_im) = jax.jvp(
                 d_split, (a_re, a_im), (jnp.ones_like(a_re),
                                         jnp.zeros_like(a_im)))
+            cur = jnp.max(f_re * f_re + f_im * f_im)
             f = Cplx(f_re, f_im)
             df = Cplx(df_re, df_im)
             step = f / df
@@ -348,16 +338,33 @@ def make_root_finder_split(eq, *, tolerance=1.0e-30, max_iterations=1000,
             # stagnation criterion then ends the loop.
             ok = ((df.re * df.re + df.im * df.im) > 0.0) \
                 & jnp.isfinite(step.re) & jnp.isfinite(step.im)
-            a_re_new = jnp.where(ok, a_re - step.re, a_re)
-            a_im_new = jnp.where(ok, a_im - step.im, a_im)
-            return a_re_new, a_im_new, cur, new_off, it + 1
+            return (jnp.where(ok, a_re - step.re, a_re),
+                    jnp.where(ok, a_im - step.im, a_im), cur)
+
+        # Carry invariant (reference parity, workflow.hpp:179-205): ``cur``
+        # is the residual measured by the evaluation that PRODUCED the
+        # current (a_re, a_im) - i.e. at the pre-update point, exactly the
+        # reference's max_residual after each max_kernel() call.
+        def cond(carry):
+            a_re, a_im, cur, last, off_last, it = carry
+            keep = cur > tolerance
+            keep &= jnp.abs(last - cur) > tolerance
+            keep &= jnp.abs(off_last - cur) > tolerance
+            keep &= it < max_iterations
+            return keep
+
+        def body(carry):
+            a_re, a_im, cur, last, off_last, it = carry
+            new_off = jnp.where((it + 1) % 2 == 0, cur, off_last)
+            a_re2, a_im2, cur2 = eval_and_update(a_re, a_im)
+            return a_re2, a_im2, cur2, cur, new_off, it + 1
 
         a0 = jnp.zeros_like(state.w)
         big = jnp.asarray(jnp.finfo(jnp.result_type(a0)).max)
-        a_re, a_im, _, _, it = jax.lax.while_loop(
+        a_re1, a_im1, cur1 = eval_and_update(a0, a0)
+        a_re, a_im, res, _, _, it = jax.lax.while_loop(
             cond, body,
-            (a0, a0, big, big, jnp.asarray(0, dtype=jnp.int32)))
-        res = resid_max(a_re, a_im)
+            (a_re1, a_im1, cur1, big, big, jnp.asarray(0, dtype=jnp.int32)))
         out = (klen + a_re, a_im)
         if return_diagnostics:
             return out, NewtonDiagnostics(it, res, res <= tolerance)
@@ -390,7 +397,14 @@ def run_absorption(file, eq, method="weak_damping", *,
         split = update_fn is None and jax.default_backend() == "tpu"
 
     if split:
-        real_dtype = jnp.float32
+        if update_fn is not None:
+            raise ValueError(
+                "update_fn expects complex RayStates and is not supported "
+                "with split=True; pass split=False to use a custom update")
+        # real counterpart of the requested complex dtype (f64 from
+        # complex128 where x64 is enabled; on the TPU backend x64 is
+        # unavailable and this resolves to f32)
+        real_dtype = jnp.zeros((), dtype=dtype).real.dtype
         upd = jax.jit(
             make_weak_damping_split(eq) if method == "weak_damping"
             else make_root_finder_split(eq))

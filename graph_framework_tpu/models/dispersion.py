@@ -75,7 +75,9 @@ def bohm_gross(w, kvec, pos, t, eq):
     is present, vth^2 = 2 q te / (me c^2)."""
     pq = eq.plasma_quantities(pos)
     wpe2 = plasma_frequency_squared(pq.ne, Q, ME)
-    vterm2 = 2.0 * Q * pq.te / (ME * _C2)
+    # scalar factor folded in Python f64 (see constants.py:
+    # plasma_frequency_squared's underflow note)
+    vterm2 = pq.te * (2.0 * Q / (ME * _C2))
 
     b = pq.b
     b2 = _vdot(b, b)
@@ -99,7 +101,7 @@ def acoustic_wave(w, kvec, pos, t, eq):
     D = k_par^2 vs^2 - w^2, vs^2 = (q te + 3 q ti)/(mi c^2)."""
     mi = eq.ion_masses[0]
     pq = eq.plasma_quantities(pos)
-    vs2 = (Q * pq.te + 3.0 * Q * pq.ti[0]) / (mi * _C2)
+    vs2 = pq.te * (Q / (mi * _C2)) + pq.ti[0] * (3.0 * Q / (mi * _C2))
     b = pq.b
     b2 = _vdot(b, b)
     kpar2 = jnp.where(
@@ -123,7 +125,7 @@ def ion_cyclotron(w, kvec, pos, t, eq):
     the first-power wce term)."""
     mi = eq.ion_masses[0]
     pq = eq.plasma_quantities(pos)
-    vs2 = (Q * pq.te + 3.0 * Q * pq.ti[0]) / (mi * _C2)
+    vs2 = pq.te * (Q / (mi * _C2)) + pq.ti[0] * (3.0 * Q / (mi * _C2))
     b = pq.b
     wce = cyclotron_frequency(-Q, _norm(b), ME)
     bhat = _bhat_or_zero(b)

@@ -113,10 +113,54 @@ def make_push_step(grid_scale, grid_offset, dt=1.0e-5, q=1.0, m=1.0):
     return step
 
 
+def make_deposit(num_particles, num_grid, scale, offset, dtype,
+                 method="dense", interpret=None):
+    """Build the deposit callable ``dep(x) -> (n, epara)``.
+
+    ``method``: "dense" (the XLA blocked outer-difference scan above) or
+    "pallas" (pallas/deposit.py: a grid tile stays VMEM-resident while
+    particle blocks stream through the pallas pipeline - the fused-kernel
+    version of the same dense contraction).  ``interpret``: run the pallas
+    kernel in interpret mode (defaults to True off-TPU so tests and CPU
+    runs exercise the same kernel).
+    """
+    grid = offset + scale * jnp.arange(num_grid, dtype=dtype)
+    if method == "dense":
+        def dep(x):
+            return deposit(x, grid, scale, offset)
+        return dep
+    if method != "pallas":
+        raise ValueError(f"unknown deposit method {method!r}")
+
+    from graph_framework_tpu.pallas.deposit import deposit_pallas
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block, tile = 2048, 256
+    npad = -(-num_particles // block) * block
+    gpad = -(-num_grid // tile) * tile
+    # padded grid points continue the spacing (values are sliced off);
+    # padded particles carry mask 0 (the per-pair E is linear in dx, so
+    # padding must be masked, not relied on to vanish)
+    grid_padded = offset + scale * jnp.arange(gpad, dtype=dtype)
+
+    def dep(x):
+        xp = jnp.pad(x, (0, npad - x.shape[0]))
+        mask = jnp.pad(jnp.ones_like(x), (0, npad - x.shape[0]))
+        n, e = deposit_pallas(xp, mask, grid_padded, block=block,
+                              tile=tile, interpret=interpret)
+        return n[:num_grid], e[:num_grid]
+
+    return dep
+
+
 def run_pic(num_particles=100_000, num_grid=1000, num_steps=100,
-            dt=1.0e-5, seed=0, dtype=jnp.float32):
+            dt=1.0e-5, seed=0, dtype=jnp.float32, deposit_method="dense",
+            interpret=None):
     """The xpic main loop (xpic.cpp:43-178): deposit fields, push
-    particles, repeat.  Returns the final PicState."""
+    particles, repeat.  Returns the final PicState.
+
+    ``deposit_method``/``interpret``: see :func:`make_deposit`.
+    """
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
     x = 0.25 * jax.random.normal(k1, (num_particles,), dtype)
@@ -124,15 +168,10 @@ def run_pic(num_particles=100_000, num_grid=1000, num_steps=100,
 
     scale = 2.0 / (num_grid - 1.0)
     offset = -1.0
-    grid = offset + scale * jnp.arange(num_grid, dtype=dtype)
 
+    dep = make_deposit(num_particles, num_grid, scale, offset, dtype,
+                       method=deposit_method, interpret=interpret)
     push = make_push_step(scale, offset, dt)
-
-    @jax.jit
-    def step(state: PicState) -> PicState:
-        n, e = deposit(state.x, grid, scale, offset)
-        state = state._replace(n=n, epara=e)
-        return push(state)
 
     state = PicState(x=x, vpara=v,
                      epara=jnp.zeros(num_grid, dtype),
@@ -141,7 +180,7 @@ def run_pic(num_particles=100_000, num_grid=1000, num_steps=100,
     @jax.jit
     def run(s):
         def body(s, _):
-            n, e = deposit(s.x, grid, scale, offset)
+            n, e = dep(s.x)
             s = s._replace(n=n, epara=e)
             return push(s), None
         s, _ = jax.lax.scan(body, s, None, length=num_steps)

@@ -21,9 +21,12 @@ drifting.  Validated against the f64 trace at intermediate tolerances
 (tests/test_compensated.py), as the reference validates per-dtype
 (solver_test.cpp:104-116).
 
-Increment extraction ``delta = step(hi) - hi`` is exact in f32: every
-per-substep increment is far below the state magnitude, so Sterbenz'
-lemma applies leaf-wise.
+The increment MUST come unfolded from the integrator (the INCREMENTS
+steppers in ops.integrators): extracting it afterwards as
+``delta = step(hi) - hi`` recovers the already-rounded increment and the
+compensation becomes a no-op, because the rounding of ``hi + delta`` is
+precisely the error being eliminated (see ``compensated_stepper`` and
+NOTES_r3 item 5 for the failed-attempt record).
 
 Forward tracing only (the production bench/CLI path); reverse-mode trace
 gradients use the f32 or f64 paths.

@@ -43,9 +43,10 @@ def _kernel(x_ref, mask_ref, grid_ref, out_ref, *, width, te, q):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block", "tile", "width", "te", "q"))
+                   static_argnames=("block", "tile", "width", "te", "q",
+                                    "interpret"))
 def deposit_pallas(x, mask, grid, *, block=2048, tile=256, width=1.0e-4,
-                   te=1.0, q=1.0):
+                   te=1.0, q=1.0, interpret=False):
     """Deposit particles ``x`` (with validity ``mask``) onto ``grid``.
 
     Returns (n, epara), each of shape (num_grid,).  ``x`` length must be a
@@ -72,5 +73,6 @@ def deposit_pallas(x, mask, grid, *, block=2048, tile=256, width=1.0e-4,
         out_specs=pl.BlockSpec((8, tile), lambda g, p: (0, g),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, num_grid), x.dtype),
+        interpret=interpret,
     )(x[None, :], mask[None, :], grid[:, None])
     return out[0], out[1]

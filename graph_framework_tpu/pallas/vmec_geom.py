@@ -43,9 +43,13 @@ Scope (documented narrowing vs the plain-XLA path):
 
 Mode/table layout: modes padded to MODES_PAD = 128 lanes (padded modes
 have zero coefficients and xm = xn = 0, contributing exactly zero to
-every sum); radial cells padded to CELLS_PAD = 256 for the MXU
-contraction; the full-grid table packs [rmnc | zmns] per Horner
-coefficient row so slice boundaries stay 128-lane aligned.
+every sum); radial tables CUT to the last CELLS_PAD = 128 cells - one
+MXU tile of contraction depth (for vmec.nc: s >= -0.293, bit-identical
+to the full table there; a ray dipping below the cut would clamp to the
+cut edge instead of the true table edge - see the domain-cut comment in
+``pack_tables`` and ``fused_geometry_jet``'s debug-mode guard); the
+full-grid table packs [rmnc | zmns] per Horner coefficient row so slice
+boundaries stay 128-lane aligned.
 
 Reference: equilibrium.hpp:1958-2140 (the symbolic-df geometry this
 replaces); piecewise.hpp:26-60 (index clamp semantics, replicated).
@@ -337,8 +341,24 @@ def make_fused_geometry(eq, *, block=512, interpret=False,
           xm[None, :], xn[None, :])
         return out[:n, :OUT_COLS]
 
+    def guard(s):
+        """Debug-mode domain guard for the radial cut: below the cut the
+        kernel clamps to the CUT edge, not the true table edge, and
+        silently extrapolates from the wrong cell.  Under utils.set_debug
+        a dipping ray raises a located checkify error (through
+        checked_jit's user_checks) instead."""
+        from graph_framework_tpu.utils import debug_enabled
+        if debug_enabled() and (cut_f or cut_h):
+            from jax.experimental import checkify
+            checkify.check(
+                jnp.all(s >= geom[0]),
+                "VMEC fused-geometry radial coordinate below the "
+                "CELLS_PAD table cut: extrapolating from the wrong cell "
+                "(rebuild with use_pallas=False for the full table)")
+
     @jax.custom_jvp
     def fused(s, u, v):
+        guard(s)
         out = jet(s, u, v)
         return tuple(out[:, i] for i in range(10))
 

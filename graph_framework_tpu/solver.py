@@ -127,11 +127,34 @@ class Solver:
     def is_adaptive(self):
         return self.method == "adaptive_rk4"
 
+    def _ensure_separable(self, state: RayState) -> None:
+        """Refuse to symplectic-step a non-separable system.
+
+        The reference asserts separability symbolically at solver
+        construction (solver.hpp:1076-1094, "Hamiltonian is not
+        separable."); the numeric equivalent here needs a sample state, so
+        it runs once at the first eager entry (init_carry / step_fn call)
+        and is skipped under trace (the eager entry already checked)."""
+        if self.method != "split_simplextic":
+            return
+        if getattr(self, "_separability_ok", False):
+            return
+        if any(isinstance(leaf, jax.core.Tracer)
+               for leaf in jax.tree.leaves(state)):
+            return
+        from graph_framework_tpu.ops.integrators import check_separable
+        rhs = make_ray_rhs(self.dispersion, self.eq,
+                           holomorphic=self.holomorphic)
+        if not check_separable(rhs, state):
+            raise ValueError("Hamiltonian is not separable.")
+        object.__setattr__(self, "_separability_ok", True)
+
     def init_carry(self, state: RayState):
         """The integration carry: the RayState itself for fixed-dt methods,
         an AdaptiveCarry holding persistent per-ray (dt, lambda) for
         adaptive_rk4 (the reference's device variables,
         solver.hpp:887-903)."""
+        self._ensure_separable(state)
         if self.is_adaptive():
             from graph_framework_tpu.ops.adaptive import init_adaptive_carry
             return init_adaptive_carry(state, self.dt)
@@ -225,7 +248,15 @@ class Solver:
         carry_step_fn) for cross-step persistence."""
         raw = self.raw_step_fn()
         if not (self.is_adaptive() or self.compensated):
-            return checked_jit(raw)
+            jitted = checked_jit(raw)
+            if self.method != "split_simplextic":
+                return jitted
+
+            def checked_step(state: RayState) -> RayState:
+                self._ensure_separable(state)
+                return jitted(state)
+
+            return checked_step
 
         def step(state: RayState) -> RayState:
             return self.carry_state(raw(self.init_carry(state)))
@@ -238,15 +269,35 @@ class Solver:
         return checked_jit(residual_fn(self.dispersion, self.eq))
 
     def run(self, state: RayState, num_steps: int,
-            return_carry: bool = False):
+            return_carry: bool = False, block_rays: Optional[int] = None):
         """Advance num_steps recorded steps entirely on device (one scan,
         no trajectory storage, no host dispatch per step) - the
         configuration of the reference's benchmark loop, which writes no
         output (xrays_bench.cpp:97-101 with filename="").
 
         ``return_carry``: also return the final integration carry (for
-        adaptive_rk4, the persisted per-ray dt/lambda)."""
+        adaptive_rk4, the persisted per-ray dt/lambda).
+
+        ``block_rays``: evaluate the ensemble in sequential blocks of this
+        many rays inside the compiled step (lax.map over a (num_blocks,
+        block_rays) reshape).  Large ensembles lose working-set locality
+        in the fused substep chain - measured on a v5e, a monolithic
+        1M-ray EFIT step runs 30% below the 100k shape while 62.5k-ray
+        blocks restore it (46.9M vs 32.8M ray-steps/s,
+        tools/probe_1m_chunking.py).  Requires the ray count to be a
+        multiple of block_rays."""
         step = self.raw_step_fn()
+        num_rays = state.x.shape[0]
+        blocked = bool(block_rays) and block_rays < num_rays
+        if blocked:
+            if num_rays % block_rays:
+                raise ValueError(
+                    f"block_rays={block_rays} must divide {num_rays}")
+            inner = step
+            nb = num_rays // block_rays
+
+            def step(c):
+                return jax.lax.map(inner, c)
 
         def go(c):
             def body(c, _):
@@ -254,7 +305,14 @@ class Solver:
             out, _ = jax.lax.scan(body, c, None, length=num_steps)
             return out
 
-        carry = checked_jit(go)(self.init_carry(state))
+        carry = self.init_carry(state)
+        if blocked:
+            carry = jax.tree.map(
+                lambda a: a.reshape((nb, block_rays) + a.shape[1:]), carry)
+        carry = checked_jit(go)(carry)
+        if blocked:
+            carry = jax.tree.map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), carry)
         if return_carry:
             return self.carry_state(carry), carry
         return self.carry_state(carry)

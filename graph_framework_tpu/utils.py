@@ -140,7 +140,8 @@ def checked_jit(fn, **jit_kwargs):
 
     from jax.experimental import checkify
 
-    checked = checkify.checkify(fn, errors=checkify.float_checks)
+    checked = checkify.checkify(
+        fn, errors=checkify.float_checks | checkify.user_checks)
     jitted = jax.jit(checked, **jit_kwargs)
 
     def wrapper(*args, **kwargs):

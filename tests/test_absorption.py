@@ -214,7 +214,12 @@ def test_split_root_finder_nonconvergence_surfaced():
                                  return_diagnostics=True)
     (kr, ki), diag = upd(st_r)
     assert not bool(diag.converged)
-    assert int(diag.iterations) == 50
+    # the loop ends via stagnation (residual stops changing at the
+    # machine-exact root) or the iteration cap - both are converge_item
+    # exits (workflow.hpp:184-192); either way the unreachable tolerance
+    # is REPORTED via converged=False
+    assert 0 < int(diag.iterations) <= 50
+    assert float(diag.residual) > 1e-60
     assert np.isfinite(np.asarray(kr)).all()
     assert np.isfinite(np.asarray(ki)).all()
 

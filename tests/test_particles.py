@@ -125,3 +125,20 @@ def test_pallas_deposit_matches_reference():
                                np.exp(-dxm ** 2 / 1e-4).sum(1), atol=1e-12)
     np.testing.assert_allclose(np.asarray(e), (2.0 * dxm / 1e-4).sum(1),
                                rtol=1e-12)
+
+
+def test_pic_run_pallas_deposit_matches_dense():
+    """run_pic(deposit_method="pallas") - the xpic --deposit=pallas path -
+    produces the same evolution as the XLA dense deposit (interpret mode
+    on CPU; the compiled kernel on TPU)."""
+    kw = dict(num_particles=2000, num_grid=64, num_steps=3,
+              dt=1e-9, dtype=jnp.float32)
+    st_d = pic.run_pic(deposit_method="dense", **kw)
+    st_p = pic.run_pic(deposit_method="pallas", **kw)
+    np.testing.assert_allclose(np.asarray(st_p.n), np.asarray(st_d.n),
+                               rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(st_p.epara),
+                               np.asarray(st_d.epara),
+                               rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st_p.x), np.asarray(st_d.x),
+                               rtol=1e-5, atol=1e-7)

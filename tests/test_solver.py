@@ -108,6 +108,26 @@ def test_split_symplectic_separable():
     assert float(st2.x[0]) != float(st.x[0])
 
 
+def test_split_symplectic_rejects_non_separable(efit_file):
+    """Construction-time guard parity (solver.hpp:1076-1094): cold_plasma
+    in a magnetized EFIT equilibrium is NOT separable (dx/dt depends on x
+    through B), and the symplectic solver must refuse it with the
+    reference's wording rather than silently stepping."""
+    from graph_framework_tpu.models import make_efit
+
+    eq = make_efit(efit_file)
+    # interior launch point: at the vacuum edge (x = 2.5) the local
+    # Jacobian blocks happen to vanish and the one-point numeric check
+    # cannot see the coupling
+    st = make_ray_state(2, w=500.0, x=2.2, y=0.0, z=0.0,
+                        kx=-300.0, ky=50.0, kz=50.0)
+    sol = Solver(disp.cold_plasma, eq, method="split_simplextic", dt=1e-5)
+    with pytest.raises(ValueError, match="not separable"):
+        sol.step_fn()(st)
+    with pytest.raises(ValueError, match="not separable"):
+        sol.run(st, 1)
+
+
 def test_adaptive_dt_persists_and_adapts():
     """VERDICT r1 item 5 / solver.hpp:881-1006: the per-ray (dt, lambda)
     are persistent variables - each step's Newton starts from the previous
@@ -135,6 +155,23 @@ def test_adaptive_dt_persists_and_adapts():
     # not by the configured scalar
     np.testing.assert_allclose(np.asarray(c1.state.t), np.asarray(c1.dt),
                                rtol=1e-12)
+
+
+def test_run_block_rays_matches_monolithic():
+    """Ensemble blocking (Solver.run(block_rays=...), the 1M-ray
+    working-set fix) is a pure layout change: results must be bitwise
+    identical to the monolithic run."""
+    eq = make_gaussian_density()
+    st = make_ray_state(16, w=0.5, kx=0.25, ky=0.25, kz=0.15)
+    st = init_k(st, disp.simple, eq, "kx")
+    sol = Solver(disp.simple, eq, method="rk4", dt=0.5, sub_steps=2)
+    fin = sol.run(st, 4)
+    fin_b = sol.run(st, 4, block_rays=4)
+    for f in st._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(fin, f)),
+                                      np.asarray(getattr(fin_b, f)))
+    with pytest.raises(ValueError, match="must divide"):
+        sol.run(st, 1, block_rays=5)
 
 
 def test_newton_diagnostics_real_counts():
