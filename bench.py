@@ -642,7 +642,8 @@ def run_grad():
     from graph_framework_tpu.solver import Solver, init_k
 
     eq, state = _make(jnp.float32)
-    sol = Solver(disp.cold_plasma, eq, method="rk4",
+    sol = Solver(disp.cold_plasma, eq,
+                 method=os.environ.get("BENCH_SOLVER", "rk4"),
                  dt=1.0 / (NUM_STEPS * SUB_STEPS), sub_steps=SUB_STEPS,
                  remat_substeps=True,
                  remat_policy=os.environ.get("BENCH_GRAD_POLICY") or None)

@@ -81,6 +81,11 @@ def build_parser():
                    help="double-word (hi, lo) f32 state accumulation: "
                         "the fast high-precision trace path on TPUs "
                         "(ops/compensated.py); rk2/rk4 only")
+    p.add_argument("--timing_json", default=None,
+                   help="write per-phase wall-clock timings (the "
+                        "reference's setup/init/compile/steps timer "
+                        "story, timing.hpp + xrays_bench.cpp:41-44) to "
+                        "this file as one JSON object")
     return p
 
 
@@ -138,6 +143,8 @@ def main(argv=None):
     dtype = jnp.float64 if args.x64 else jnp.float32
     rng = np.random.default_rng(args.seed)
     n = args.num_rays
+    timings = {}
+    t_setup0 = time.perf_counter()
 
     # initial conditions (xrays.cpp:56-136)
     vals = {v: sample_initial(args, rng, n, v)
@@ -157,11 +164,15 @@ def main(argv=None):
 
     # Newton init on the first k component given as a bare mean
     # (xrays.cpp:192-204)
+    timings["setup_s"] = round(time.perf_counter() - t_setup0, 3)
     for which in ("kx", "ky", "kz"):
         if (getattr(args, f"init_{which}_mean") is not None
                 and getattr(args, f"init_{which}_dist") == "uniform"):
             t0 = time.perf_counter()
             state = init_k(state, dfun, eq, which)
+            import jax as _jax
+            _jax.block_until_ready(state)
+            timings["init_s"] = round(time.perf_counter() - t0, 3)
             if args.verbose:
                 print(f"init {which}: {time.perf_counter()-t0:.2f}s",
                       file=sys.stderr)
@@ -194,12 +205,23 @@ def main(argv=None):
                       f"y={float(s.y[sample]):.6g} "
                       f"z={float(s.z[sample]):.6g}")
 
+        # compile the recorded step separately so the trace timer tells
+        # the reference's compile-vs-steps story (xrays_bench.cpp:41-44)
+        t0 = time.perf_counter()
+        step_fn = sol.carry_step_fn()
+        warm = step_fn(sol.init_carry(state))
+        jax.block_until_ready(warm)
+        del warm
+        timings["compile_s"] = round(time.perf_counter() - t0, 3)
+
         t0 = time.perf_counter()
         sol.trace_streaming(state, num_steps, write)
         writer.close()
+        el = time.perf_counter() - t0
+        steps = num_steps * args.sub_steps
+        timings["trace_s"] = round(el, 3)
+        timings["trace_ray_steps_per_s"] = round(n * steps / el, 1)
         if args.verbose:
-            steps = num_steps * args.sub_steps
-            el = time.perf_counter() - t0
             print(f"trace: {el:.2f}s = {n*steps/el:.3g} ray-steps/s",
                   file=sys.stderr)
 
@@ -209,8 +231,15 @@ def main(argv=None):
             run_absorption, bin_power)
         method = ("weak_damping" if args.absorption_model == "weak_damping"
                   else "root_finder")
+        t0 = time.perf_counter()
         with ResultFile(args.output, mode="r+") as f:
-            run_absorption(f, eq, method=method)
+            # phase 2 writes ride an AsyncWriter so the next slice's
+            # kernel overlaps the previous slice's file write - the
+            # reference's double-buffered writer thread
+            # (absorption.hpp:465-483)
+            run_absorption(f, eq, method=method, writer=AsyncWriter(f))
+            timings["absorption_s"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
             nt = f.num_steps
             names = ["x", "y", "z"]
             xs = np.stack([f.read_step(i, names)["x"] for i in range(nt)])
@@ -224,10 +253,27 @@ def main(argv=None):
                 jnp.asarray(kamp.imag))
             f.create_variable("power")
             f.create_variable("d_power")
+            pw = AsyncWriter(f)
             for i in range(nt):
-                f.write_step(i, {"power": power[i], "d_power": d_power[i]})
+                pw.write_step(i, {"power": power[i],
+                                  "d_power": d_power[i]})
+            pw.close()
+            timings["bin_power_s"] = round(time.perf_counter() - t0, 3)
         if args.verbose:
             print(f"power: min {float(power.min()):.4g}", file=sys.stderr)
+
+    if args.timing_json:
+        import json
+        timings["num_rays"] = n
+        timings["num_times"] = args.num_times
+        timings["sub_steps"] = args.sub_steps
+        timings["solver"] = args.solver
+        timings["dispersion"] = args.dispersion
+        timings["equilibrium"] = args.equilibrium
+        timings["absorption_model"] = args.absorption_model
+        timings["backend"] = jax.default_backend()
+        with open(args.timing_json, "w") as fh:
+            json.dump(timings, fh)
 
 
 if __name__ == "__main__":
