@@ -29,12 +29,14 @@ vs_baseline normalizes against 1e6 ray-steps/s/chip - the order of the
 reference's single-A100 throughput inferred from its "800x one CPU core"
 claim (code_performance.dox:27-30); no absolute numbers are published.
 
-Env knobs: BENCH_MODE=fwd|grad|absorption|config5|korc,
+Env knobs: BENCH_MODE=fwd|grad|absorption|config5|korc|pic,
 BENCH_EQ=efit|vmec, BENCH_SOLVER=rk4|rk2, BENCH_RAYS, BENCH_STEPS,
 BENCH_SUB_STEPS, BENCH_DTYPES (f32,f32c,f64,c-split), BENCH_VMEC_FUSED,
-GRAPH_VMEC_BLOCK/SPLIT, BENCH_GRAD_REPS, BENCH_GRAD_SEGMENT,
-BENCH_GRAD_POLICY, BENCH_C5_BATCHES, BENCH_PARTICLES, BENCH_KORC_STEPS,
-BENCH_KORC_CHUNK, BENCH_KORC_PALLAS.
+BENCH_FROZEN (frozen-cell stepping), BENCH_BLOCK_RAYS (ensemble
+blocking; auto > 125k rays), GRAPH_VMEC_BLOCK/SPLIT, BENCH_GRAD_REPS,
+BENCH_GRAD_SEGMENT, BENCH_GRAD_POLICY, BENCH_C5_BATCHES,
+BENCH_PARTICLES, BENCH_KORC_STEPS, BENCH_KORC_CHUNK, BENCH_KORC_PALLAS,
+BENCH_PIC_PARTICLES/GRID/STEPS/CHUNK/METHODS.
 """
 
 import functools
@@ -186,9 +188,14 @@ def _bench_trace(dtype, num_steps, compensated=False):
     # the physical in-plasma flight.
     endtime = 0.025 if BENCH_EQ == "vmec" else 1.0
     method = os.environ.get("BENCH_SOLVER", "rk4")
+    # BENCH_FROZEN=1: frozen-cell stepping (one spline-block gather per
+    # substep serves all RK stages; models/efit.FrozenCellEfit contract)
+    frozen = (os.environ.get("BENCH_FROZEN", "0") == "1"
+              and hasattr(eq, "freeze_cells"))
     sol = Solver(disp.cold_plasma, eq, method=method,
                  dt=endtime / (NUM_STEPS * SUB_STEPS),
-                 sub_steps=SUB_STEPS, compensated=compensated)
+                 sub_steps=SUB_STEPS, compensated=compensated,
+                 frozen_cells=frozen)
 
     t0 = time.perf_counter()
     state = init_k(state, disp.cold_plasma, eq, "kx",
@@ -453,9 +460,11 @@ def run_pic_bench():
     steps = int(os.environ.get("BENCH_PIC_STEPS", 50))
     chunk = int(os.environ.get("BENCH_PIC_CHUNK", 5))
     assert steps % chunk == 0
-    dt = 1.0e-9     # the reference's per-pair E model is explosively
-    #                 unstable (see models/pic.py); tiny dt keeps the
-    #                 50-step run finite without changing per-step cost
+    # the reference's per-pair E model is explosively unstable (see
+    # models/pic.py) and the per-particle field scales with the ensemble
+    # (1e6 particles -> |E| ~ 1e10); dt must shrink accordingly to keep
+    # the 50-step artifact finite - per-step COST is dt-independent.
+    dt = float(os.environ.get("BENCH_PIC_DT", 1.0e-14))
 
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
@@ -646,6 +655,7 @@ def run_grad():
                  method=os.environ.get("BENCH_SOLVER", "rk4"),
                  dt=1.0 / (NUM_STEPS * SUB_STEPS), sub_steps=SUB_STEPS,
                  remat_substeps=True,
+                 frozen_cells=(os.environ.get("BENCH_FROZEN", "0") == "1"),
                  remat_policy=os.environ.get("BENCH_GRAD_POLICY") or None)
 
     t0 = time.perf_counter()
@@ -718,7 +728,9 @@ def run_grad():
     ray_steps_per_s = NUM_RAYS * NUM_STEPS * SUB_STEPS / elapsed
     print(json.dumps({
         "metric": f"fwd+bwd ray-steps/s/chip (grad of endpoint w.r.t. "
-                  f"launch state, rk4+cold_plasma+{BENCH_EQ.upper()}, "
+                  f"launch state, "
+                  f"{os.environ.get('BENCH_SOLVER', 'rk4')}"
+                  f"+cold_plasma+{BENCH_EQ.upper()}, "
                   f"{NUM_RAYS} rays f32, {NUM_STEPS}x{SUB_STEPS} steps)",
         "value": round(ray_steps_per_s, 1),
         "unit": "ray-steps/s",

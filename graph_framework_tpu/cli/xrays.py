@@ -81,6 +81,11 @@ def build_parser():
                    help="double-word (hi, lo) f32 state accumulation: "
                         "the fast high-precision trace path on TPUs "
                         "(ops/compensated.py); rk2/rk4 only")
+    p.add_argument("--frozen_cells", action="store_true",
+                   help="frozen-cell stepping: one spline-block gather "
+                        "per substep serves all RK stages (EFIT rk2/rk4; "
+                        "models/efit.FrozenCellEfit documents the "
+                        "narrowed contract and 1e-9 error bound)")
     p.add_argument("--timing_json", default=None,
                    help="write per-phase wall-clock timings (the "
                         "reference's setup/init/compile/steps timer "
@@ -182,7 +187,8 @@ def main(argv=None):
     num_steps = args.num_times // args.sub_steps
     sol = Solver(dfun, eq, method=args.solver, dt=dt,
                  sub_steps=args.sub_steps,
-                 compensated=args.compensated)
+                 compensated=args.compensated,
+                 frozen_cells=args.frozen_cells)
     res = jax.jit(residual_fn(dfun, eq))
 
     if args.print_expressions:

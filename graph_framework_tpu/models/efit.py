@@ -30,7 +30,9 @@ from graph_framework_tpu.models.equilibrium import (
     Equilibrium, PlasmaQuantities)
 from graph_framework_tpu.ops.spline import (
     eval_cubic_1d, eval_cubic_multi, eval_bicubic_2d, eval_bicubic_jet,
+    eval_bicubic_jet_block, eval_cubic_multi_block,
     rebase_cells_1d, rebase_cells_2d, to_cell_major_1d, to_cell_major_2d)
+from graph_framework_tpu.ops.tables import table_index_1d
 from graph_framework_tpu.ops.newton import newton_solve_multi
 
 
@@ -199,6 +201,34 @@ class EfitEquilibrium(Equilibrium):
         ti = (pres - ne * te * q) / (ni * q)
         return PlasmaQuantities(b=b, ne=ne, te=te, ni=(ni,), ti=(ti,))
 
+    def freeze_cells(self, pos):
+        """Gather this position's spline blocks ONCE and return a
+        :class:`FrozenCellEfit` view that evaluates plasma_quantities
+        against them - the shared-gather substep optimization (see
+        FrozenCellEfit for the narrowed contract and error bound).
+        """
+        if not self.cell_local:
+            raise ValueError("freeze_cells requires cell_local tables "
+                             "(the default load path)")
+        x, y, z = pos[0], pos[1], pos[2]
+        r = jnp.sqrt(x * x + y * y)
+        nr, nc = self.psi_coeffs.shape[:2]
+        i = table_index_1d(r, self.dr, self.rmin, nr)
+        j = table_index_1d(z, self.dz, self.zmin, nc)
+        psi_block = self.psi_coeffs.reshape(nr * nc, 16)[i * nc + j]
+        u = (r - self.rmin) / self.dr - i.astype(r.dtype)
+        v = (z - self.zmin) / self.dz - j.astype(r.dtype)
+        psi_val, _, _ = eval_bicubic_jet_block(psi_block, u, v,
+                                               self.dr, self.dz)
+        npsi, nprof = self.profile_coeffs.shape[:2]
+        pidx = table_index_1d(psi_val, self.dpsi, self.psimin, npsi)
+        prof_block = self.profile_coeffs.reshape(npsi, nprof * 4)[pidx]
+        prof_block = prof_block.reshape(jnp.shape(pidx) + (nprof, 4))
+        f = r.dtype
+        return FrozenCellEfit(
+            psi_block=psi_block, iu=i.astype(f), jv=j.astype(f),
+            prof_block=prof_block, pidx=pidx.astype(f), base=self)
+
     def characteristic_field(self):
         """|B| at the magnetic axis, found by Newton on the normalized flux
         from the seed (1.7, 0, 0) with step 0.1
@@ -215,6 +245,77 @@ class EfitEquilibrium(Equilibrium):
         pos = jnp.stack([xa, jnp.zeros_like(xa), za])
         b = self.magnetic_field(pos)
         return jnp.sqrt(jnp.sum(b * b))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrozenCellEfit(Equilibrium):
+    """Cell-frozen view for shared-gather RK stepping (narrowed contract).
+
+    ``EfitEquilibrium.freeze_cells(pos)`` gathers each ray's bicubic psi
+    block and fused profile block ONCE (at the RK substep's base state);
+    this view then serves every stage's ``plasma_quantities`` from those
+    blocks with cell-local coordinates that may run slightly past
+    [0, 1).  Contract:
+
+      * valid when stage positions stay within O(dt * v_g) of the base
+        point - the RK stages of one substep.  When a stage crosses a
+        cell boundary the base cell's polynomial extrapolates; cubic
+        pieces are C2, so the deviation from the true neighbouring
+        polynomial is |third-derivative jump| * delta^3 / 6 with delta
+        the crossing depth in cell units (bench dt: drift <= 1e-4 m vs
+        0.027 m cells -> delta <= 4e-3, error ~ 1e-8 relative, far
+        below f32 resolution; measured endpoint validation in
+        tests/test_efit.py and NOTES_r4);
+      * the profile cell is frozen from the base state's psi likewise;
+      * requires cell_local tables.
+
+    Reference analogue: USE_INDEX_CACHE (piecewise.hpp, CMakeLists.txt:
+    8-17) caches table indices within one kernel; this freezes index AND
+    coefficient block across the stages of a substep, deleting 3/4 of
+    rk4's table gathers (the binding resource of the EFIT step kernel -
+    NOTES_r3 profile account).
+    """
+    psi_block: jax.Array       # (..., 16) bicubic coefficients
+    iu: jax.Array              # frozen r-cell index (as float)
+    jv: jax.Array              # frozen z-cell index
+    prof_block: jax.Array      # (..., 4, 4) [profile, power]
+    pidx: jax.Array            # frozen psi-cell index (as float)
+    base: EfitEquilibrium
+
+    @property
+    def ion_masses(self):
+        return self.base.ion_masses
+
+    @property
+    def ion_charges(self):
+        return self.base.ion_charges
+
+    def plasma_quantities(self, pos):
+        base = self.base
+        x, y, z = pos[0], pos[1], pos[2]
+        r = jnp.sqrt(x * x + y * y)
+        u = (r - base.rmin) / base.dr - self.iu
+        v = (z - base.zmin) / base.dz - self.jv
+        psi_val, dpsi_dr, dpsi_dz = eval_bicubic_jet_block(
+            self.psi_block, u, v, base.dr, base.dz)
+        up = (psi_val - base.psimin) / base.dpsi - self.pidx
+        vals = eval_cubic_multi_block(self.prof_block, up)
+        ne = base.ne_scale * vals[..., 0]
+        te = base.te_scale * vals[..., 1]
+        pres = base.pres_scale * vals[..., 2]
+        fpol = vals[..., 3]
+
+        br = dpsi_dz / r
+        bp = fpol / r
+        bz = -dpsi_dr / r
+        c, s = x / r, y / r
+        b = jnp.stack([br * c - bp * s, br * s + bp * c, bz])
+
+        q = 1.60218e-19          # reference's rounded q + ni=te quirk
+        ni = te
+        ti = (pres - ne * te * q) / (ni * q)
+        return PlasmaQuantities(b=b, ne=ne, te=te, ni=(ni,), ti=(ti,))
 
 
 def make_efit(path, dtype=jnp.float64, replicate_reference_quirks=True,

@@ -191,6 +191,26 @@ def eval_bicubic_2d(coeffs, x, x_scale, x_offset, y, y_scale, y_offset,
             + u * (ca[..., 2] + u * ca[..., 3])))
 
 
+def eval_bicubic_jet_block(block, u, v, x_scale, y_scale):
+    """Jet polynomial part of :func:`eval_bicubic_jet` over an
+    already-gathered (..., 16) block and CELL-LOCAL coordinates (u, v).
+
+    Split out so frozen-cell stepping (models/efit.freeze_cells) can
+    re-evaluate RK stages against one base-state gather; u/v may run
+    slightly outside [0, 1) there (polynomial extrapolation across at
+    most a fraction of the neighbouring cell - the narrowed contract is
+    documented at the caller)."""
+    b, v_ = _block44(block, v)
+    ca = b[..., 0] + v_ * (b[..., 1] + v_ * (b[..., 2] + v_ * b[..., 3]))
+    cb = b[..., 1] + v_ * (2.0 * b[..., 2] + 3.0 * v_ * b[..., 3])
+    val = (ca[..., 0] + u * (ca[..., 1]
+           + u * (ca[..., 2] + u * ca[..., 3])))
+    dval_du = ca[..., 1] + u * (2.0 * ca[..., 2] + 3.0 * u * ca[..., 3])
+    dval_dv = (cb[..., 0] + u * (cb[..., 1]
+               + u * (cb[..., 2] + u * cb[..., 3])))
+    return val, dval_du / x_scale, dval_dv / y_scale
+
+
 def eval_bicubic_jet(coeffs, x, x_scale, x_offset, y, y_scale, y_offset,
                      local=False):
     """Bicubic value and first derivatives from ONE coefficient gather.
@@ -205,12 +225,12 @@ def eval_bicubic_jet(coeffs, x, x_scale, x_offset, y, y_scale, y_offset,
     """
     block, u, v = _flat_block_2d(coeffs, x, x_scale, x_offset,
                                  y, y_scale, y_offset, local)
-    b, v_ = _block44(block, v)
-    ca = b[..., 0] + v_ * (b[..., 1] + v_ * (b[..., 2] + v_ * b[..., 3]))
-    cb = b[..., 1] + v_ * (2.0 * b[..., 2] + 3.0 * v_ * b[..., 3])
-    val = (ca[..., 0] + u * (ca[..., 1]
-           + u * (ca[..., 2] + u * ca[..., 3])))
-    dval_du = ca[..., 1] + u * (2.0 * ca[..., 2] + 3.0 * u * ca[..., 3])
-    dval_dv = (cb[..., 0] + u * (cb[..., 1]
-               + u * (cb[..., 2] + u * cb[..., 3])))
-    return val, dval_du / x_scale, dval_dv / y_scale
+    return eval_bicubic_jet_block(block, u, v, x_scale, y_scale)
+
+
+def eval_cubic_multi_block(block, u):
+    """Polynomial part of :func:`eval_cubic_multi` over an
+    already-gathered (..., P, 4) block and cell-local coordinate u."""
+    u = u[..., None] if jnp.ndim(u) else u
+    return (block[..., 0] + u * (block[..., 1]
+            + u * (block[..., 2] + u * block[..., 3])))

@@ -115,6 +115,14 @@ class Solver:
     # TPUs, where plain f64 is emulated ~4.8x slower on every op.  Fixed
     # dt methods, forward tracing only.
     compensated: bool = False
+    # Frozen-cell stepping: gather each ray's spline blocks ONCE per
+    # substep (at the base state) and evaluate all RK stages against
+    # them (models/efit.FrozenCellEfit - the narrowed contract and the
+    # 1e-8-relative extrapolation bound live there).  Deletes 3/4 of
+    # rk4's table gathers - the EFIT step kernel's binding resource.
+    # rk2/rk4 (plain or compensated), spline equilibria with
+    # freeze_cells only.
+    frozen_cells: bool = False
 
     def __post_init__(self):
         if self.method not in set(STEPPERS) | {"adaptive_rk4"}:
@@ -122,6 +130,14 @@ class Solver:
         if self.compensated and self.is_adaptive():
             raise ValueError("compensated accumulation supports the "
                              "fixed-dt methods only")
+        if self.frozen_cells:
+            if self.method not in ("rk2", "rk4"):
+                raise ValueError("frozen_cells supports rk2/rk4 only")
+            if not hasattr(self.eq, "freeze_cells"):
+                raise ValueError(
+                    f"{type(self.eq).__name__} has no freeze_cells "
+                    "(frozen-cell stepping is a spline-equilibrium "
+                    "optimization)")
 
     # -- single recorded step (sub_steps integrator steps, jitted) --------
     def is_adaptive(self):
@@ -178,6 +194,14 @@ class Solver:
         checkify wrapper raises host-side and must not be re-traced."""
         rhs = make_ray_rhs(self.dispersion, self.eq,
                            holomorphic=self.holomorphic)
+        if self.frozen_cells:
+            # rebuild the RHS against a cell-frozen equilibrium view at
+            # each substep's base state: one block gather serves every
+            # RK stage of the substep
+            def rhs_at(s: RayState):
+                feq = self.eq.freeze_cells(jnp.stack([s.x, s.y, s.z]))
+                return make_ray_rhs(self.dispersion, feq,
+                                    holomorphic=self.holomorphic)
 
         if self.is_adaptive():
             from graph_framework_tpu.ops.adaptive import (
@@ -189,8 +213,12 @@ class Solver:
         else:
             dt = self.dt
 
-            def stepper(s):
-                return STEPPERS[self.method](rhs, s, dt)
+            if self.frozen_cells:
+                def stepper(s):
+                    return STEPPERS[self.method](rhs_at(s), s, dt)
+            else:
+                def stepper(s):
+                    return STEPPERS[self.method](rhs, s, dt)
 
         if self.compensated and not self.is_adaptive():
             from graph_framework_tpu.ops.compensated import (
@@ -201,8 +229,12 @@ class Solver:
                     f"compensated accumulation needs an increment-form "
                     f"stepper; available: {sorted(INCREMENTS)}")
             dt = self.dt
-            stepper = compensated_stepper(
-                lambda s: INCREMENTS[self.method](rhs, s, dt))
+            if self.frozen_cells:
+                stepper = compensated_stepper(
+                    lambda s: INCREMENTS[self.method](rhs_at(s), s, dt))
+            else:
+                stepper = compensated_stepper(
+                    lambda s: INCREMENTS[self.method](rhs, s, dt))
 
         if self.remat_substeps:
             policy = None

@@ -149,3 +149,38 @@ def test_plasma_quantities_fused_matches_accessors(eq):
     np.testing.assert_allclose(
         pq.ti[0], jax.vmap(lambda p: eq.ion_temperature(0, p))(pos),
         rtol=1e-12)
+
+
+def test_frozen_cell_stepping_matches_exact(eq):
+    """Frozen-cell stepping (Solver(frozen_cells=True) ->
+    EfitEquilibrium.freeze_cells): one block gather per substep serves
+    all RK stages.  Contract check: over a 50-substep f64 trace the
+    endpoint matches exact rk4 to ~1e-9 relative (the cross-boundary
+    polynomial extrapolation bound in the FrozenCellEfit docstring),
+    and a stage that stays within the base cell is bitwise-identical
+    physics (same polynomial)."""
+    from graph_framework_tpu.models import dispersion as disp
+    from graph_framework_tpu.solver import Solver, make_ray_state, init_k
+
+    st = make_ray_state(2, w=500.0, x=2.3, y=0.0, z=0.0,
+                        kx=-400.0, ky=150.0, kz=0.0)
+    st = init_k(st, disp.cold_plasma, eq, "kx", tolerance=1e-14)
+    outs = {}
+    for frozen in (False, True):
+        sol = Solver(disp.cold_plasma, eq, method="rk4", dt=1.0e-4,
+                     sub_steps=5, frozen_cells=frozen)
+        outs[frozen] = sol.run(st, 10)
+    for f in ("x", "y", "z"):
+        np.testing.assert_allclose(np.asarray(getattr(outs[True], f)),
+                                   np.asarray(getattr(outs[False], f)),
+                                   rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(outs[True].kx),
+                               np.asarray(outs[False].kx), rtol=1e-8)
+
+    # frozen_cells refuses analytic equilibria and non-rk methods
+    from graph_framework_tpu.models.equilibrium import make_slab
+    with pytest.raises(ValueError, match="freeze_cells"):
+        Solver(disp.cold_plasma, make_slab(), frozen_cells=True)
+    with pytest.raises(ValueError, match="rk2/rk4"):
+        Solver(disp.cold_plasma, eq, method="adaptive_rk4",
+               frozen_cells=True)
