@@ -72,3 +72,54 @@ def pad_to_devices(n: int, mesh: Mesh) -> int:
     dead rays is the SPMD-friendly equivalent)."""
     d = mesh.devices.size
     return ((n + d - 1) // d) * d
+
+
+def run_blocked_sharded(solver, state, num_steps: int, mesh: Mesh,
+                        block_rays: Optional[int] = None):
+    """Advance ``num_steps`` recorded steps with the ensemble sharded
+    over the mesh AND blocked per device - the production composition
+    for pod-scale 1M-rays-per-chip runs.
+
+    ``Solver.run(block_rays=...)`` alone must not be used on a sharded
+    ensemble: its ``lax.map`` would scan over a SHARDED axis,
+    serializing the devices.  Here ``shard_map`` first splits the
+    ensemble into per-device locals (collective-free, like the whole
+    step kernel), and each device scans its own resident blocks - the
+    working-set fix of tools/probe_1m_chunking.py applied per chip.
+    ``block_rays`` is the PER-DEVICE block size (None: no blocking).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(RAY_AXIS)
+    step = solver.raw_step_fn()
+
+    def local_run(s):
+        n_local = s.x.shape[0]
+        inner = step
+        if block_rays and block_rays < n_local:
+            if n_local % block_rays:
+                raise ValueError(
+                    f"block_rays={block_rays} must divide the per-device "
+                    f"ray count {n_local}")
+            nb = n_local // block_rays
+
+            def inner(c, _step=step):
+                return jax.lax.map(_step, c)
+
+            s = jax.tree.map(
+                lambda a: a.reshape((nb, block_rays) + a.shape[1:]), s)
+
+        def body(c, _):
+            return inner(c), None
+
+        s, _ = jax.lax.scan(body, solver.init_carry(s), None,
+                            length=num_steps)
+        s = solver.carry_state(s)
+        if block_rays and block_rays < n_local:
+            s = jax.tree.map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), s)
+        return s
+
+    fn = shard_map(local_run, mesh=mesh, in_specs=(spec,),
+                   out_specs=spec, check_rep=False)
+    return jax.jit(fn)(state)

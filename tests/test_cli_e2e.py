@@ -125,3 +125,30 @@ def test_xrays_production_flags_vmec(tmp_path):
     f = read_all(out_f, ["x", "kx"])
     np.testing.assert_allclose(f["x"], d["x"], rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(f["kx"], d["kx"], rtol=5e-4, atol=5e-3)
+
+
+def test_xrays_production_flags_efit_frozen(tmp_path):
+    """--frozen_cells (+ --compensated + --timing_json) through the CLI:
+    the EFIT trace runs, the endpoint matches the default path at the
+    frozen-cell contract tolerance, and the per-phase timing JSON is
+    written (the reference's timer story, timing.hpp)."""
+    import json
+    common = ["--dispersion=cold_plasma", "--equilibrium=efit",
+              "--equilibrium_file=/root/reference/graph_tests/efit.nc",
+              "--num_rays=4", "--num_times=20", "--sub_steps=5",
+              "--endtime=0.002", "--f32",
+              "--init_w_mean=500.0", "--init_kx_mean=-300.0",
+              "--init_ky_mean=150.0", "--init_x_mean=2.2"]
+    default_dir = tmp_path / "d"
+    default_dir.mkdir()
+    out_d, _ = run_xrays(default_dir, *common)
+    tj = tmp_path / "timing.json"
+    out_f, _ = run_xrays(tmp_path, *common, "--frozen_cells",
+                         "--compensated", f"--timing_json={tj}")
+    d = read_all(out_d, ["x", "kx"])
+    f = read_all(out_f, ["x", "kx"])
+    np.testing.assert_allclose(f["x"], d["x"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(f["kx"], d["kx"], rtol=1e-5)
+    t = json.loads(tj.read_text())
+    for key in ("setup_s", "init_s", "compile_s", "trace_s"):
+        assert key in t and t[key] >= 0.0, t

@@ -162,3 +162,56 @@ def test_remat_policy_spline_jet_matches_default(efit_file):
     for a, b, name in zip(g0, g1, st._fields):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-6, atol=1e-9, err_msg=name)
+
+
+def test_frozen_cells_gradients_match_plain(efit_file):
+    """Trace gradients through frozen-cell stepping equal the plain
+    path's (the frozen view is plain XLA gathers + polynomials, so
+    reverse-mode flows through it; cotangents w.r.t. the coordinate pass
+    through the polynomial exactly as the reference's piecewise df
+    semantics require)."""
+    from graph_framework_tpu.models import make_efit
+    eq = make_efit(efit_file)
+    st = make_ray_state(4, w=500.0, x=2.2, y=0.0, z=0.0,
+                        kx=-300.0, ky=150.0, kz=0.0)
+    st = init_k(st, disp.cold_plasma, eq, "kx", tolerance=1e-14)
+
+    grads = {}
+    for frozen in (False, True):
+        sol = Solver(disp.cold_plasma, eq, method="rk4", dt=1e-4,
+                     sub_steps=5, frozen_cells=frozen)
+        step = sol.raw_step_fn()
+
+        def endpoint(s0, _step=step):
+            def body(s, _):
+                return _step(s), None
+            s, _ = jax.lax.scan(body, s0, None, length=4)
+            return jnp.sum(s.x) + jnp.sum(s.kx)
+
+        grads[frozen] = jax.jit(jax.grad(endpoint))(st)
+    for f in st._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(grads[True], f)),
+            np.asarray(getattr(grads[False], f)), rtol=2e-6, atol=1e-9,
+            err_msg=f)
+
+
+def test_frozen_compensated_blocked_compose(efit_file):
+    """The three round-3/4 production options compose: frozen-cell
+    stepping + compensated double-word accumulation + ensemble blocking
+    in one run, equal to the unoptimized path at contract tolerance."""
+    from graph_framework_tpu.models import make_efit
+    import jax.numpy as jnp
+    eq = make_efit(efit_file, dtype=jnp.float32)
+    st = make_ray_state(8, w=500.0, x=2.2, y=0.0, z=0.0,
+                        kx=-300.0, ky=150.0, kz=0.0, dtype=jnp.float32)
+    plain = Solver(disp.cold_plasma, eq, method="rk4", dt=1e-4,
+                   sub_steps=5)
+    combo = Solver(disp.cold_plasma, eq, method="rk4", dt=1e-4,
+                   sub_steps=5, frozen_cells=True, compensated=True)
+    a = plain.run(st, 4)
+    b = combo.run(st, 4, block_rays=4)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x),
+                               rtol=0, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(b.kx), np.asarray(a.kx),
+                               rtol=5e-6)

@@ -151,3 +151,31 @@ def test_fused_vmec_geometry_shards(vmec_file):
             np.asarray(getattr(sharded, f)),
             np.asarray(getattr(single, f)), rtol=1e-6, atol=1e-7,
             err_msg=f)
+
+
+def test_run_blocked_sharded_matches_plain(efit_file):
+    """run_blocked_sharded (shard_map over the ray mesh + per-device
+    ensemble blocking, the pod-scale production composition) is a pure
+    layout change: identical results to Solver.run on one device."""
+    from graph_framework_tpu.models import make_efit
+    from graph_framework_tpu.parallel.mesh import run_blocked_sharded
+
+    eq = make_efit(efit_file, dtype=jnp.float32)
+    n = 64
+    st = make_ray_state(n, w=500.0, x=2.2, y=0.0, z=0.0,
+                        kx=-300.0, ky=150.0, kz=0.0, dtype=jnp.float32)
+    sol = Solver(disp.cold_plasma, eq, method="rk4", dt=1e-4, sub_steps=2)
+    ref = sol.run(st, 3)
+
+    mesh = ray_mesh()
+    st_sh = shard_rays(st, mesh)
+    eq_sh = replicate(eq, mesh)
+    import dataclasses
+    sol_sh = dataclasses.replace(sol, eq=eq_sh)
+    out = run_blocked_sharded(sol_sh, st_sh, 3, mesh, block_rays=4)
+    assert out.x.sharding.is_equivalent_to(
+        NamedSharding(mesh, P("rays")), out.x.ndim)
+    for f in st._fields:
+        np.testing.assert_allclose(np.asarray(getattr(out, f)),
+                                   np.asarray(getattr(ref, f)),
+                                   rtol=1e-6, atol=1e-7)
