@@ -31,8 +31,11 @@ def bench_one(dtype_name, efit_file, num_rays, num_times, sub_steps):
     eq = make_efit(efit_file, dtype=jnp.float64
                    if dtype_name in ("double", "complex_double")
                    else jnp.float32)
+    # xrays_bench.cpp:63-72 launch, with the round-4 ky=150 parallel
+    # component: the reference's ky=kz=0 launch is branch-degenerate at
+    # the perpendicular cutoff (bench.py:_make has the measured story)
     state = make_ray_state(num_rays, w=500.0, x=2.5, y=0.0, z=0.0,
-                           kx=-600.0, ky=0.0, kz=0.0, dtype=dtype)
+                           kx=-600.0, ky=150.0, kz=0.0, dtype=dtype)
     num_steps = num_times // sub_steps
     sol = Solver(disp.cold_plasma, eq, method="rk4",
                  dt=1.0 / num_times, sub_steps=sub_steps)
