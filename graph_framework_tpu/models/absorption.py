@@ -403,8 +403,12 @@ def run_absorption(file, eq, method="weak_damping", *,
                 "with split=True; pass split=False to use a custom update")
         # real counterpart of the requested complex dtype (f64 from
         # complex128 where x64 is enabled; on the TPU backend x64 is
-        # unavailable and this resolves to f32)
-        real_dtype = jnp.zeros((), dtype=dtype).real.dtype
+        # unavailable and this resolves to f32).  Host-side derivation:
+        # materializing even a scalar complex array on the TPU backend
+        # raises UNIMPLEMENTED (found driving the 100k pipeline on chip).
+        import numpy as _np
+        real_dtype = jax.dtypes.canonicalize_dtype(
+            _np.zeros((), dtype=dtype).real.dtype)
         upd = jax.jit(
             make_weak_damping_split(eq) if method == "weak_damping"
             else make_root_finder_split(eq))
@@ -420,6 +424,17 @@ def run_absorption(file, eq, method="weak_damping", *,
 
     file.create_variable("kamp", complex_valued=True)
     names = ["time", "w", "x", "y", "z", "kx", "ky", "kz"]
+    try:
+        _run_absorption_loop(file, names, real_dtype, update, split,
+                             safe_math, writer)
+    finally:
+        if writer is not None:
+            writer.close()
+
+
+def _run_absorption_loop(file, names, real_dtype, update, split,
+                         safe_math, writer):
+    import numpy as np
     for i in range(file.num_steps):
         row = file.read_step(i, names)
         state = RayState(
@@ -442,8 +457,6 @@ def run_absorption(file, eq, method="weak_damping", *,
                     kamp, 0.0)
         target = writer or file
         target.write_step(i, {"kamp": kamp})
-    if writer is not None:
-        writer.close()
 
 
 def bin_power(x, y, z, kamp_imag):
