@@ -103,23 +103,16 @@ def test_pic_run_smoke():
 def test_pallas_deposit_matches_reference():
     """The Pallas deposit kernel (interpret mode on CPU; compiled on TPU)
     equals the dense direct sum."""
-    import functools
-    from jax.experimental import pallas as pl
     import graph_framework_tpu.pallas.deposit as dep
 
-    orig = pl.pallas_call
-    if jax.default_backend() == "cpu":
-        pl.pallas_call = functools.partial(orig, interpret=True)
-    try:
-        rng = np.random.default_rng(3)
-        x = jnp.asarray(rng.normal(0, 0.25, 4096), jnp.float64)
-        mask = jnp.ones(4096)
-        num_grid = 64
-        scale = 2.0 / (num_grid - 1)
-        grid = -1.0 + scale * jnp.arange(num_grid, dtype=jnp.float64)
-        n, e = dep.deposit_pallas(x, mask, grid, block=2048, tile=64)
-    finally:
-        pl.pallas_call = orig
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 0.25, 4096), jnp.float64)
+    mask = jnp.ones(4096)
+    num_grid = 64
+    scale = 2.0 / (num_grid - 1)
+    grid = -1.0 + scale * jnp.arange(num_grid, dtype=jnp.float64)
+    n, e = dep.deposit_pallas(x, mask, grid, block=2048, tile=64,
+                              interpret=jax.default_backend() == "cpu")
     dxm = np.asarray(x)[None, :] - np.asarray(grid)[:, None]
     np.testing.assert_allclose(np.asarray(n),
                                np.exp(-dxm ** 2 / 1e-4).sum(1), atol=1e-12)
