@@ -389,8 +389,9 @@ def run_korc_bench():
         # 1e8 particles, 2.8x the bandwidth floor); the kernel advances
         # the whole chunk per round trip
         from graph_framework_tpu.pallas.boris import make_slab_push
-        push = jax.jit(make_slab_push(dt=dt, b0=b0, b1=1.0, b_shear=0.1,
-                                      steps=chunk))
+        push = jax.jit(make_slab_push(
+            dt=dt, b0=b0, b1=1.0, b_shear=0.1, steps=chunk,
+            block_rows=int(os.environ.get("BENCH_KORC_BLOCK_ROWS", 32))))
 
         # donate the state: without it every chunk allocates 6 fresh
         # 400 MB buffers and the allocator churn makes chunk walltime

@@ -77,10 +77,18 @@ def _kernel(x_ref, y_ref, z_ref, ux_ref, uy_ref, uz_ref,
 
 
 def make_slab_push(*, dt, b0, b1=1.0, b_shear=0.1, larmor=1.0,
-                   steps=100, block_rows=64, interpret=False):
+                   steps=100, block_rows=32, interpret=False):
     """Build ``push(x, y, z, ux, uy, uz) -> same`` advancing ``steps``
     Boris iterations in one kernel launch.  Arrays are flat (P,) with P a
-    multiple of ``block_rows * 128``."""
+    multiple of ``block_rows * 128``.
+
+    ``block_rows`` default 32: the round-3 default of 64 ran 22G
+    particle-steps/s then but collapsed to 0.6G on the round-4 backend
+    (same code, same chip class - Mosaic codegen drift between
+    sessions); the round-4 sweep (NOTES_r4) measured 32 rows x >= 200
+    in-kernel steps at 22-31G.  Re-sweep block_rows/steps whenever the
+    serving stack changes.
+    """
 
     def push(x, y, z, ux, uy, uz):
         p = x.shape[0]

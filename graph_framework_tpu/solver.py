@@ -38,7 +38,7 @@ def make_ray_state(num_rays=None, *, t=0.0, w, x=0.0, y=0.0, z=0.0,
 
 
 def init_k(state: RayState, dispersion, eq, which: str = "kx", *,
-           tolerance: float = 1.0e-30, max_iterations: int = 1000,
+           tolerance: Optional[float] = None, max_iterations: int = 1000,
            holomorphic: Optional[bool] = None,
            return_diagnostics: bool = False):
     """Newton-solve D = 0 for one wave-number component per ray.
@@ -47,12 +47,26 @@ def init_k(state: RayState, dispersion, eq, which: str = "kx", *,
     ``solver::newton`` (solver.hpp:252-298, dispersion.hpp:1450-1475):
     iterate k <- k - D/dD/dk until the ensemble-max of D^2 converges.
 
+    ``tolerance``: default None = dtype-aware - the reference's 1.0e-30
+    (newton.hpp:39) for f64/c128, 1.0e-10 for f32/c64.  In f32 the
+    residual D^2 bottoms out at rounding noise far above 1e-30, and
+    once there each further Newton step divides noise by a small
+    derivative: measured on TPU f32 at the benchmark launch, the
+    iteration WANDERED from the physical root (kx = -477.72) to a
+    neighbouring branch's (kx = -476.97) whose trajectory is singular -
+    the whole 100k-ray trace NaN'd from step one.  A tolerance the
+    dtype can actually resolve stops at the first root reached.
+
     ``return_diagnostics``: also return the NewtonDiagnostics (iteration
     count, final max residual, converged flag) - the converge_item's
     non-convergence report (workflow.hpp:184-204).
     """
     if holomorphic is None:
         holomorphic = jnp.iscomplexobj(state.w)
+    if tolerance is None:
+        fine = jnp.dtype(state.w.dtype) in (jnp.dtype(jnp.float64),
+                                            jnp.dtype(jnp.complex128))
+        tolerance = 1.0e-30 if fine else 1.0e-10
     d_one = dispersion_residual(dispersion, eq)
     vd = d_one if getattr(eq, "supports_batched", eq.is_cartesian)() \
         else jax.vmap(d_one)

@@ -8,6 +8,7 @@ assert the dispersion residual stays below the init tolerance for 5 steps
 cold_plasma(900, 1000, 5e-5).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -202,3 +203,30 @@ def test_init_k_returns_diagnostics():
                        return_diagnostics=True)
     assert int(diag.iterations) > 0
     assert bool(diag.converged)
+
+
+def test_init_k_dtype_aware_default_tolerance(efit_file):
+    """init_k's default tolerance is dtype-aware (solver.init_k
+    docstring): the reference's 1e-30 is below f32 resolution, and
+    measured on TPU the spent iterations wandered the Newton root to a
+    neighbouring dispersion branch whose trajectory is singular.  The
+    f32 default must land on the same root as an explicit
+    dtype-resolvable tolerance."""
+    from graph_framework_tpu.models import make_efit
+
+    eq = make_efit(efit_file, dtype=jnp.float32)
+    st = make_ray_state(4, w=500.0, x=2.5, y=0.0, z=0.0,
+                        kx=-500.0, ky=150.0, kz=0.0, dtype=jnp.float32)
+    auto = init_k(st, disp.cold_plasma, eq, "kx")
+    explicit = init_k(st, disp.cold_plasma, eq, "kx", tolerance=1e-10)
+    np.testing.assert_allclose(np.asarray(auto.kx),
+                               np.asarray(explicit.kx), rtol=1e-6)
+    # f64 keeps the reference default (root refined beyond f32)
+    eq64 = make_efit(efit_file)
+    st64 = jax.tree.map(lambda a: a.astype(jnp.float64), st)
+    auto64 = init_k(st64, disp.cold_plasma, eq64, "kx")
+    res = jnp.max(jnp.abs(
+        __import__("graph_framework_tpu.models.rays",
+                   fromlist=["residual_fn"]).residual_fn(
+            disp.cold_plasma, eq64)(auto64)))
+    assert float(res) < 1e-20
