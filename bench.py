@@ -526,9 +526,63 @@ def run_pic_bench():
     }))
 
 
+def run_adaptive_bench():
+    """adaptive_rk4 throughput on the stiff system - the configuration
+    the reference's (dt, lambda) coordinate-Newton scheme is built for
+    and the one its referee validates (tests/test_reference_parity.py;
+    solver.hpp:881-1006).  Each recorded step runs the per-ray Newton
+    adaptation (a while_loop with the converge_item criteria) plus the
+    RK4 step, so the metric counts ADAPTED steps - Newton iterations are
+    the price of the adaptation and vary per step.
+    """
+    from graph_framework_tpu.models import dispersion as disp
+    from graph_framework_tpu.models.equilibrium import make_no_magnetic_field
+    from graph_framework_tpu.solver import Solver, make_ray_state
+
+    n = NUM_RAYS
+    steps = min(NUM_STEPS, 50)
+    eq = make_no_magnetic_field()
+    state = make_ray_state(n, w=1.0, x=1.0, kx=1.0, dtype=jnp.float32)
+    sol = Solver(disp.stiff, eq, method="adaptive_rk4", dt=1.0e-4,
+                 sub_steps=1)
+    step = jax.jit(sol.raw_step_fn(), donate_argnums=(0,))
+
+    carry = sol.init_carry(state)
+    t0 = time.perf_counter()
+    carry = step(carry)
+    jax.block_until_ready(carry)
+    t_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(steps - 1):
+        carry = step(carry)
+        float(carry.dt[0])   # forced readback: chained while_loop
+        #                      dispatches "time" as no-ops otherwise
+    elapsed = time.perf_counter() - t0
+    rsps = n * (steps - 1) / elapsed
+    print(json.dumps({
+        "metric": f"adapted ray-steps/s/chip (adaptive_rk4+stiff, {n} "
+                  f"rays f32, {steps} steps)",
+        "value": round(rsps, 1),
+        "unit": "ray-steps/s",
+        "vs_baseline": round(rsps / BASELINE_RAY_STEPS_PER_S, 4),
+        "detail": {
+            "t_compile_s": round(t_compile, 2),
+            "t_steps_s": round(elapsed, 2),
+            "dt_final": float(carry.dt[0]),
+            "t_final": float(carry.state.t[0]),
+            "note": "per-step cost includes the full (dt, lambda) "
+                    "Newton converge loop; referee parity in "
+                    "tests/test_reference_parity.py",
+        },
+    }))
+
+
 def main():
     if BENCH_MODE == "grad":
         return run_grad()
+    if BENCH_MODE == "adaptive":
+        return run_adaptive_bench()
     if BENCH_MODE == "pic":
         return run_pic_bench()
     if BENCH_MODE == "korc":
