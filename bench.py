@@ -843,9 +843,14 @@ def run_config5():
 
     def absorbed_power(psi_coeffs, kz0, batch):
         eq = dataclasses.replace(eq0, psi_coeffs=psi_coeffs)
+        # BENCH_FROZEN=1: frozen-cell stepping; table gradients flow
+        # through the frozen block gathers exactly (verified to 7e-16
+        # relative vs the plain path, tests/test_gradients.py)
         sol = Solver(disp.cold_plasma, eq, method="rk4",
                      dt=1.0 / (steps * sub), sub_steps=sub,
-                     remat_substeps=True)
+                     remat_substeps=True,
+                     frozen_cells=(os.environ.get("BENCH_FROZEN", "0")
+                                   == "1"))
         kamp_fn = make_weak_damping_split(eq)
         step = jax.checkpoint(sol.raw_step_fn(), prevent_cse=False)
         s0 = batch._replace(kz=jnp.full_like(batch.kz, kz0))
