@@ -43,10 +43,13 @@ def main():
         # the bench headline configuration (bench._make)
         eq = make_efit(EFIT_FILE, dtype=jnp.float32)
         state = make_ray_state(N, w=500.0, x=2.5, y=0.0, z=0.0,
-                               kx=-500.0, ky=0.0, kz=0.0,
+                               kx=-477.723, ky=150.0, kz=0.0,
                                dtype=jnp.float32)
-        sol = Solver(disp.cold_plasma, eq, method="rk4", dt=1e-4,
-                     sub_steps=10)
+        sol = Solver(
+            disp.cold_plasma, eq,
+            method=os.environ.get("BENCH_SOLVER", "rk4"), dt=1e-4,
+            sub_steps=10,
+            frozen_cells=os.environ.get("BENCH_FROZEN", "0") == "1")
         return run(eq, state, sol)
     fused = os.environ.get("BENCH_VMEC_FUSED", "0") == "1"
     eq = make_vmec(VMEC_FILE, dtype=jnp.float32, fused_mode_sums=fused)
