@@ -195,7 +195,9 @@ def _bench_trace(dtype, num_steps, compensated=False):
     sol = Solver(disp.cold_plasma, eq, method=method,
                  dt=endtime / (NUM_STEPS * SUB_STEPS),
                  sub_steps=SUB_STEPS, compensated=compensated,
-                 frozen_cells=frozen)
+                 frozen_cells=frozen,
+                 freeze_every=int(os.environ.get("BENCH_FREEZE_EVERY",
+                                                 1)) if frozen else 1)
 
     t0 = time.perf_counter()
     state = init_k(state, disp.cold_plasma, eq, "kx",
@@ -712,6 +714,7 @@ def run_grad():
                  dt=1.0 / (NUM_STEPS * SUB_STEPS), sub_steps=SUB_STEPS,
                  remat_substeps=True,
                  frozen_cells=(os.environ.get("BENCH_FROZEN", "0") == "1"),
+                 freeze_every=int(os.environ.get("BENCH_FREEZE_EVERY", 1)),
                  remat_policy=os.environ.get("BENCH_GRAD_POLICY") or None)
 
     t0 = time.perf_counter()

@@ -81,6 +81,11 @@ def build_parser():
                    help="double-word (hi, lo) f32 state accumulation: "
                         "the fast high-precision trace path on TPUs "
                         "(ops/compensated.py); rk2/rk4 only")
+    p.add_argument("--freeze_every", type=int, default=1,
+                   help="with --frozen_cells: re-gather the spline "
+                        "blocks every N substeps (must divide "
+                        "sub_steps; accuracy bound in "
+                        "models/efit.FrozenCellEfit + Solver docstring)")
     p.add_argument("--frozen_cells", action="store_true",
                    help="frozen-cell stepping: one spline-block gather "
                         "per substep serves all RK stages (EFIT rk2/rk4; "
@@ -188,7 +193,8 @@ def main(argv=None):
     sol = Solver(dfun, eq, method=args.solver, dt=dt,
                  sub_steps=args.sub_steps,
                  compensated=args.compensated,
-                 frozen_cells=args.frozen_cells)
+                 frozen_cells=args.frozen_cells,
+                 freeze_every=args.freeze_every)
     res = jax.jit(residual_fn(dfun, eq))
 
     if args.print_expressions:

@@ -166,16 +166,24 @@ def test_frozen_cell_stepping_matches_exact(eq):
                         kx=-400.0, ky=150.0, kz=0.0)
     st = init_k(st, disp.cold_plasma, eq, "kx", tolerance=1e-14)
     outs = {}
-    for frozen in (False, True):
+    for key, kw in (("plain", {}),
+                    ("frozen", dict(frozen_cells=True)),
+                    ("frozen5", dict(frozen_cells=True, freeze_every=5))):
         sol = Solver(disp.cold_plasma, eq, method="rk4", dt=1.0e-4,
-                     sub_steps=5, frozen_cells=frozen)
-        outs[frozen] = sol.run(st, 10)
-    for f in ("x", "y", "z"):
-        np.testing.assert_allclose(np.asarray(getattr(outs[True], f)),
-                                   np.asarray(getattr(outs[False], f)),
-                                   rtol=0, atol=1e-8)
-    np.testing.assert_allclose(np.asarray(outs[True].kx),
-                               np.asarray(outs[False].kx), rtol=1e-8)
+                     sub_steps=5, **kw)
+        outs[key] = sol.run(st, 10)
+    for key in ("frozen", "frozen5"):
+        for f in ("x", "y", "z"):
+            np.testing.assert_allclose(np.asarray(getattr(outs[key], f)),
+                                       np.asarray(getattr(outs["plain"], f)),
+                                       rtol=0, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(outs[key].kx),
+                                   np.asarray(outs["plain"].kx), rtol=1e-8)
+    with pytest.raises(ValueError, match="must divide"):
+        Solver(disp.cold_plasma, eq, sub_steps=5, frozen_cells=True,
+               freeze_every=3)
+    with pytest.raises(ValueError, match="needs frozen_cells"):
+        Solver(disp.cold_plasma, eq, sub_steps=5, freeze_every=5)
 
     # frozen_cells refuses analytic equilibria and non-rk methods
     from graph_framework_tpu.models.equilibrium import make_slab
