@@ -306,6 +306,15 @@ class FrozenCellEfit(Equilibrium):
         pres = base.pres_scale * vals[..., 2]
         fpol = vals[..., 3]
 
+        # same named-residual labels as the base path, so
+        # Solver(remat_policy="spline_jet") keeps saving the jet products
+        # when frozen_cells is on (without them save_only_these_names
+        # would silently save nothing and degrade to full recompute)
+        from jax.ad_checkpoint import checkpoint_name
+        psi_val, dpsi_dr, dpsi_dz, ne, te, pres, fpol = [
+            checkpoint_name(a, "spline_jet")
+            for a in (psi_val, dpsi_dr, dpsi_dz, ne, te, pres, fpol)]
+
         br = dpsi_dz / r
         bp = fpol / r
         bz = -dpsi_dr / r

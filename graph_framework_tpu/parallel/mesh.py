@@ -90,6 +90,13 @@ def run_blocked_sharded(solver, state, num_steps: int, mesh: Mesh,
     """
     from jax.experimental.shard_map import shard_map
 
+    # run the separability guard EAGERLY here: inside shard_map/jit the
+    # state is traced and Solver._ensure_separable skips itself, so a
+    # non-separable Hamiltonian would silently symplectic-step without
+    # the reference's "Hamiltonian is not separable." error
+    # (solver.hpp:1076-1094).
+    solver._ensure_separable(state)
+
     spec = P(RAY_AXIS)
     step = solver.raw_step_fn()
 

@@ -323,8 +323,18 @@ class Solver:
 
         checked_jit = jax.jit normally; checkify float checks under debug
         mode (utils.set_debug) so a NaN-producing configuration raises a
-        located error instead of silently poisoning the trace."""
-        return checked_jit(self.raw_step_fn())
+        located error instead of silently poisoning the trace.
+
+        The compiled wrapper is CACHED on the solver: every call returns
+        the same object, so warming it once (cli/xrays.py compile timer)
+        covers the executable trace_streaming then drives - a fresh
+        closure per call would retrace and recompile under its own jit
+        cache, silently folding a second compile into the trace timing."""
+        cached = getattr(self, "_carry_step_cache", None)
+        if cached is None:
+            cached = checked_jit(self.raw_step_fn())
+            object.__setattr__(self, "_carry_step_cache", cached)
+        return cached
 
     def step_fn(self):
         """Jitted recorded step over a plain RayState.  For adaptive_rk4
