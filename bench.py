@@ -32,7 +32,8 @@ claim (code_performance.dox:27-30); no absolute numbers are published.
 Env knobs: BENCH_MODE=fwd|grad|absorption|config5|korc|pic,
 BENCH_EQ=efit|vmec, BENCH_SOLVER=rk4|rk2, BENCH_RAYS, BENCH_STEPS,
 BENCH_SUB_STEPS, BENCH_DTYPES (f32,f32c,f64,c-split), BENCH_VMEC_FUSED,
-BENCH_FROZEN (frozen-cell stepping), BENCH_BLOCK_RAYS (ensemble
+BENCH_FROZEN (frozen-cell stepping), BENCH_PALLAS_WINDOW (+_BLOCK_ROWS:
+VMEM-resident multi-substep window kernel), BENCH_BLOCK_RAYS (ensemble
 blocking; auto > 125k rays), GRAPH_VMEC_BLOCK/SPLIT, BENCH_GRAD_REPS,
 BENCH_GRAD_SEGMENT, BENCH_GRAD_POLICY, BENCH_C5_BATCHES,
 BENCH_PARTICLES, BENCH_KORC_STEPS, BENCH_KORC_CHUNK, BENCH_KORC_PALLAS,
@@ -192,12 +193,27 @@ def _bench_trace(dtype, num_steps, compensated=False):
     # substep serves all RK stages; models/efit.FrozenCellEfit contract)
     frozen = (os.environ.get("BENCH_FROZEN", "0") == "1"
               and hasattr(eq, "freeze_cells"))
+    # BENCH_PALLAS_WINDOW=1 (with BENCH_FROZEN): run each freeze window
+    # as one VMEM-resident multi-substep Pallas kernel
+    # (pallas/efit_step.py) - measured 821M ray-steps/s at 100k /
+    # 1012M at 1M rays vs 275M/174M for the XLA frozen path (rk2 K=10,
+    # v5e-1).  The ensemble is padded cyclically to a kernel-tile
+    # multiple; throughput counts the padded rays (all are computed).
+    pallas_win = (os.environ.get("BENCH_PALLAS_WINDOW", "0") == "1"
+                  and frozen)
+    pallas_br = int(os.environ.get("BENCH_PALLAS_BLOCK_ROWS", 32))
+    num_rays = NUM_RAYS
+    if pallas_win:
+        from graph_framework_tpu.pallas.efit_step import pad_rays
+        state, _ = pad_rays(state, block_rows=pallas_br)
+        num_rays = state.x.shape[0]
     sol = Solver(disp.cold_plasma, eq, method=method,
                  dt=endtime / (NUM_STEPS * SUB_STEPS),
                  sub_steps=SUB_STEPS, compensated=compensated,
                  frozen_cells=frozen,
                  freeze_every=int(os.environ.get("BENCH_FREEZE_EVERY",
-                                                 1)) if frozen else 1)
+                                                 1)) if frozen else 1,
+                 pallas_window=pallas_win, pallas_block_rows=pallas_br)
 
     t0 = time.perf_counter()
     state = init_k(state, disp.cold_plasma, eq, "kx",
@@ -219,10 +235,13 @@ def _bench_trace(dtype, num_steps, compensated=False):
     # 45.8M at 125000, 37.4M at 250000 (tools/probe_1m_chunking.py).
     # BENCH_BLOCK_RAYS=0 disables; default auto-blocks ensembles > 125k.
     block = int(os.environ.get(
-        "BENCH_BLOCK_RAYS", 62_500 if NUM_RAYS > 125_000 else 0))
-    if block and NUM_RAYS % block == 0 and NUM_RAYS // block > 1:
+        "BENCH_BLOCK_RAYS", 62_500 if num_rays > 125_000 else 0))
+    if pallas_win:
+        block = 0     # the kernel's grid streams blocks itself: measured
+        #               1012M at 1M rays monolithic (no working-set cliff)
+    if block and num_rays % block == 0 and num_rays // block > 1:
         raw = sol.raw_step_fn()
-        nb = NUM_RAYS // block
+        nb = num_rays // block
 
         def _blocked(carry):
             return jax.lax.map(raw, carry)
@@ -262,9 +281,9 @@ def _bench_trace(dtype, num_steps, compensated=False):
     assert state.x.dtype == dtype, state.x.dtype
 
     integrator_steps = (num_steps - 1) * SUB_STEPS
-    rsps = NUM_RAYS * integrator_steps / elapsed
+    rsps = num_rays * integrator_steps / elapsed
     flops, nbytes = _cost(sol.raw_step_fn(), sol.init_carry(state))
-    per = NUM_RAYS * SUB_STEPS
+    per = num_rays * SUB_STEPS
     # rays leaving the spline domain produce non-finite state (the f64
     # trajectory exits the EFIT table partway through the full duration;
     # throughput is unaffected, the artifact records the fraction)
@@ -288,6 +307,7 @@ def _bench_trace(dtype, num_steps, compensated=False):
             .astype(jnp.float32)))
     return dict(
         ray_steps_per_s=round(rsps, 1),
+        **({"padded_rays": num_rays} if num_rays != NUM_RAYS else {}),
         finite_fraction=round(finite_frac, 4),
         in_domain_fraction=round(in_domain_frac, 4),
         num_steps=num_steps,

@@ -91,6 +91,16 @@ def build_parser():
                         "per substep serves all RK stages (EFIT rk2/rk4; "
                         "models/efit.FrozenCellEfit documents the "
                         "narrowed contract and 1e-9 error bound)")
+    p.add_argument("--pallas_window", action="store_true",
+                   help="with --frozen_cells: run each freeze window as "
+                        "one VMEM-resident multi-substep Pallas kernel "
+                        "(pallas/efit_step.py; ~3-6x the XLA frozen "
+                        "path on TPU; the ensemble is padded cyclically "
+                        "to a kernel-tile multiple and trimmed back for "
+                        "output)")
+    p.add_argument("--pallas_block_rows", type=int, default=32,
+                   help="ray-block rows (x128 lanes) resident per "
+                        "kernel instance of --pallas_window")
     p.add_argument("--timing_json", default=None,
                    help="write per-phase wall-clock timings (the "
                         "reference's setup/init/compile/steps timer "
@@ -194,7 +204,14 @@ def main(argv=None):
                  sub_steps=args.sub_steps,
                  compensated=args.compensated,
                  frozen_cells=args.frozen_cells,
-                 freeze_every=args.freeze_every)
+                 freeze_every=args.freeze_every,
+                 pallas_window=args.pallas_window,
+                 pallas_block_rows=args.pallas_block_rows)
+    if args.pallas_window:
+        # pad the ensemble cyclically to a kernel-tile multiple; output
+        # rows are trimmed back to the launched ray count below
+        from graph_framework_tpu.pallas.efit_step import pad_rays
+        state, _ = pad_rays(state, block_rows=args.pallas_block_rows)
     res = jax.jit(residual_fn(dfun, eq))
 
     if args.print_expressions:
@@ -210,6 +227,8 @@ def main(argv=None):
         writer = AsyncWriter(f)
 
         def write(i, s):
+            if s.x.shape[0] != n:      # trim pallas_window padding
+                s = jax.tree.map(lambda a: a[:n], s)
             writer.write_step(i, state_row(s, residual=res(s)))
             if args.print_ray:
                 print(f"step {i}: t={float(s.t[sample]):.6g} "

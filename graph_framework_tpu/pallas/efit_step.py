@@ -1,0 +1,267 @@
+"""VMEM-resident multi-substep Pallas kernel for frozen-window EFIT stepping.
+
+The XLA frozen-window path (solver.py ``frozen_cells`` + ``freeze_every``)
+already deletes the re-gathers inside a window, but every substep still
+round-trips the 8 ray-state arrays (plus XLA's fusion temporaries) through
+HBM: the best committed leg reports hbm utilization ~0.29 with ~1% VPU use
+(BENCH_EFIT1M_r04).  Within a freeze window the right-hand side is
+GATHER-FREE - the bicubic psi block and the fused profile block are in hand
+- which is exactly the condition that made the Boris multi-step kernel
+(pallas/boris.py) work: keep a ray block resident in VMEM and advance it
+``freeze_every`` substeps per HBM round trip.
+
+Structure per window:
+
+  1. XLA gathers the frozen blocks at the window's base state
+     (``EfitEquilibrium.freeze_cells`` - one bicubic block + one profile
+     block per ray, the same freeze the XLA path uses, so the numerics
+     are identical by construction);
+  2. the blocks are laid out coefficient-leading - (16, rows, 128) - so
+     each coefficient is a full VPU tile (a trailing 16-wide axis would
+     pad 16 -> 128 lanes and waste 8x VMEM);
+  3. one ``pallas_call`` advances the whole window: the kernel rebuilds
+     the ray RHS with ``make_ray_rhs`` against a frozen view that reads
+     the resident coefficients, and loops the rk2/rk4 stepper (optionally
+     under the compensated double-word accumulator) ``freeze_every``
+     times in VMEM.
+
+HBM traffic per ray per window drops to one state read + write plus the
+frozen blocks (~(2*8 + 2*16 + 3) * 4 B amortized over K substeps) versus
+one state round trip per substep for the XLA path.
+
+Reference analogue: the single fused "solver_kernel" launched per step
+(cuda_context.hpp:524-529) - but fused across SUBSTEPS, which the
+reference never does (its kernel is one substep; the host loops).
+
+The dispersion algebra inside the kernel is the very same Python the XLA
+path traces (models/rays.make_ray_rhs, models/dispersion.*,
+ops/integrators.*, ops/compensated.*) - only the equilibrium view and the
+launch mechanics differ; parity is pinned by tests/test_pallas_efit_step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from graph_framework_tpu.models.equilibrium import PlasmaQuantities
+from graph_framework_tpu.models.rays import RayState, make_ray_rhs
+from graph_framework_tpu.ops.integrators import STEPPERS, INCREMENTS
+from graph_framework_tpu.ops.compensated import (
+    CompCarry, compensated_stepper)
+
+LANES = 128
+
+
+class _FrozenView:
+    """Equilibrium view over VMEM-resident frozen coefficient tiles.
+
+    Same narrowed contract and algebra as ``models.efit.FrozenCellEfit``
+    (cell-local polynomial evaluation against the window-base blocks,
+    stages may extrapolate slightly past the cell), but the 16 bicubic and
+    16 profile coefficients arrive as separate (rows, 128) arrays - the
+    coefficient-leading unrolled form a Mosaic kernel wants - instead of a
+    trailing (..., 16) block axis.
+    """
+
+    def __init__(self, psi, prof, iu, jv, pidx, base):
+        self.psi = psi          # list of 16 (rows, lanes): [a * 4 + b]
+        self.prof = prof        # list of 16 (rows, lanes): [p * 4 + k]
+        self.iu = iu
+        self.jv = jv
+        self.pidx = pidx
+        self.base = base        # EfitEquilibrium (static scalars only)
+
+    # -- protocol bits make_ray_rhs / dispersion need ---------------------
+    @property
+    def ion_masses(self):
+        return self.base.ion_masses
+
+    @property
+    def ion_charges(self):
+        return self.base.ion_charges
+
+    @property
+    def num_ion_species(self):
+        return len(self.base.ion_masses)
+
+    def is_cartesian(self):
+        return True
+
+    def supports_batched(self):
+        return True
+
+    def bind_point(self, pos):
+        return self
+
+    def kvec(self, kcov, pos):
+        return kcov
+
+    def plasma_quantities(self, pos):
+        """FrozenCellEfit.plasma_quantities with the coefficient axis
+        unrolled (models/efit.py:294; bicubic jet = ops/spline.py
+        eval_bicubic_jet_block, profiles = eval_cubic_multi_block)."""
+        base = self.base
+        c = self.psi
+        x, y, z = pos[0], pos[1], pos[2]
+        r = jnp.sqrt(x * x + y * y)
+        u = (r - base.rmin) / base.dr - self.iu
+        v = (z - base.zmin) / base.dz - self.jv
+
+        # cubic in v per u-power row, then cubic (and its derivative) in u
+        ca = [c[4 * a + 0] + v * (c[4 * a + 1]
+              + v * (c[4 * a + 2] + v * c[4 * a + 3])) for a in range(4)]
+        cb = [c[4 * a + 1] + v * (2.0 * c[4 * a + 2]
+              + 3.0 * v * c[4 * a + 3]) for a in range(4)]
+        psi_val = ca[0] + u * (ca[1] + u * (ca[2] + u * ca[3]))
+        dpsi_dr = (ca[1] + u * (2.0 * ca[2] + 3.0 * u * ca[3])) / base.dr
+        dpsi_dz = (cb[0] + u * (cb[1] + u * (cb[2] + u * cb[3]))) / base.dz
+
+        p = self.prof
+        up = (psi_val - base.psimin) / base.dpsi - self.pidx
+        vals = [p[4 * k + 0] + up * (p[4 * k + 1]
+                + up * (p[4 * k + 2] + up * p[4 * k + 3]))
+                for k in range(4)]
+        ne = base.ne_scale * vals[0]
+        te = base.te_scale * vals[1]
+        pres = base.pres_scale * vals[2]
+        fpol = vals[3]
+
+        br = dpsi_dz / r
+        bp = fpol / r
+        bz = -dpsi_dr / r
+        cr, sr = x / r, y / r      # algebraic rotation (models/efit.py)
+        b = jnp.stack([br * cr - bp * sr, br * sr + bp * cr, bz])
+
+        q = 1.60218e-19            # reference's rounded q + ni=te quirk
+        ni = te
+        ti = (pres - ne * te * q) / (ni * q)
+        return PlasmaQuantities(b=b, ne=ne, te=te, ni=(ni,), ti=(ti,))
+
+
+def _window_kernel(*refs, dispersion, method, dt, steps, base, compensated):
+    """Advance one ray block ``steps`` substeps against resident frozen
+    coefficients.  Ref order: state (8 or 16 with compensated lo words),
+    psi (16, rows, lanes), prof (16, rows, lanes), iu, jv, pidx, then the
+    matching state outputs."""
+    ns = 16 if compensated else 8
+    state_refs = refs[:ns]
+    psi_ref, prof_ref = refs[ns], refs[ns + 1]
+    iu_ref, jv_ref, pidx_ref = refs[ns + 2], refs[ns + 3], refs[ns + 4]
+    out_refs = refs[ns + 5:]
+
+    view = _FrozenView(
+        psi=[psi_ref[i] for i in range(16)],
+        prof=[prof_ref[i] for i in range(16)],
+        iu=iu_ref[...], jv=jv_ref[...], pidx=pidx_ref[...], base=base)
+    rhs = make_ray_rhs(dispersion, view, holomorphic=False)
+
+    if compensated:
+        cstep = compensated_stepper(
+            lambda s: INCREMENTS[method](rhs, s, dt))
+        carry = CompCarry(
+            RayState(*[r[...] for r in state_refs[:8]]),
+            RayState(*[r[...] for r in state_refs[8:]]))
+        carry = jax.lax.fori_loop(
+            0, steps, lambda _, c: cstep(c), carry)
+        for r, v in zip(out_refs, tuple(carry.hi) + tuple(carry.lo)):
+            r[...] = v
+    else:
+        stepper = STEPPERS[method]
+        st = RayState(*[r[...] for r in state_refs])
+        st = jax.lax.fori_loop(
+            0, steps, lambda _, s: stepper(rhs, s, dt), st)
+        for r, v in zip(out_refs, st):
+            r[...] = v
+
+
+def make_frozen_window_step(eq, dispersion: Callable, *, method="rk2",
+                            dt, sub_steps, freeze_every, block_rows=8,
+                            compensated=False, interpret=False):
+    """Build the recorded-step function ``carry -> carry`` (sub_steps
+    integrator substeps as ``sub_steps // freeze_every`` windows, each one
+    freeze gather + one multi-substep kernel launch).
+
+    ``carry`` is a flat (N,) RayState (or CompCarry of two) with N a
+    multiple of ``block_rows * 128``.  Drop-in replacement for the XLA
+    ``Solver(frozen_cells=True, freeze_every=K)`` step - the freeze
+    semantics (window-base gather, in-window extrapolation contract) are
+    identical; see models/efit.FrozenCellEfit for the error bound.
+    """
+    if method not in ("rk2", "rk4"):
+        raise ValueError("frozen window kernel supports rk2/rk4 only")
+    if sub_steps % freeze_every:
+        raise ValueError(f"freeze_every={freeze_every} must divide "
+                         f"sub_steps={sub_steps}")
+    windows = sub_steps // freeze_every
+
+    kernel = functools.partial(
+        _window_kernel, dispersion=dispersion, method=method, dt=dt,
+        steps=freeze_every, base=eq, compensated=compensated)
+
+    def window(carry):
+        hi = carry.hi if compensated else carry
+        n = hi.x.shape[0]
+        if n % (block_rows * LANES):
+            raise ValueError(
+                f"num_rays={n} must be a multiple of "
+                f"block_rows*{LANES}={block_rows * LANES} "
+                "(pad the ensemble; see pad_rays)")
+        rows = n // LANES
+
+        feq = eq.freeze_cells(jnp.stack([hi.x, hi.y, hi.z]))
+        # coefficient-leading tiles: (N, 16) -> (16, rows, lanes)
+        psi = feq.psi_block.T.reshape(16, rows, LANES)
+        prof = feq.prof_block.reshape(n, 16).T.reshape(16, rows, LANES)
+        iu = feq.iu.reshape(rows, LANES)
+        jv = feq.jv.reshape(rows, LANES)
+        pidx = feq.pidx.reshape(rows, LANES)
+
+        leaves = list(hi) + (list(carry.lo) if compensated else [])
+        shaped = [a.reshape(rows, LANES) for a in leaves]
+        ns = len(shaped)
+
+        spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0))
+        cspec = pl.BlockSpec((16, block_rows, LANES), lambda i: (0, i, 0))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(rows // block_rows,),
+            in_specs=[spec] * ns + [cspec, cspec] + [spec] * 3,
+            out_specs=[spec] * ns,
+            out_shape=[jax.ShapeDtypeStruct((rows, LANES), hi.x.dtype)] * ns,
+            interpret=interpret,
+        )(*shaped, psi, prof, iu, jv, pidx)
+        flat = [o.reshape(n) for o in outs]
+        if compensated:
+            return CompCarry(RayState(*flat[:8]), RayState(*flat[8:]))
+        return RayState(*flat)
+
+    def step(carry):
+        if windows == 1:
+            return window(carry)
+
+        def body(c, _):
+            return window(c), None
+
+        c, _ = jax.lax.scan(body, carry, None, length=windows)
+        return c
+
+    return step
+
+
+def pad_rays(state, block_rows=8):
+    """Pad a flat RayState up to a multiple of ``block_rows * 128`` by
+    repeating rays cyclically (gather-produced buffers - freshly allocated,
+    avoiding the measured 30x pad-buffer slowdown of jnp.pad views on this
+    backend).  Returns (padded_state, original_n)."""
+    n = state.x.shape[0]
+    unit = block_rows * LANES
+    m = ((n + unit - 1) // unit) * unit
+    if m == n:
+        return state, n
+    idx = jnp.arange(m) % n
+    return jax.tree.map(lambda a: a[idx], state), n

@@ -146,6 +146,20 @@ class Solver:
     # rk4 90->125M, rk2 128->208M ray-steps/s from K=1 to K=5.
     # Must divide sub_steps.
     freeze_every: int = 1
+    # Run each freeze window as ONE VMEM-resident multi-substep Pallas
+    # kernel (pallas/efit_step.py): the ray block plus the frozen
+    # coefficient tiles stay resident in VMEM for the whole window, so
+    # HBM sees one state round trip per WINDOW instead of per substep.
+    # Measured on a v5e chip (bench config, freeze_every=10): rk2 275M
+    # (XLA frozen) -> 821M at 100k rays, 174M -> 1012M at 1M rays;
+    # compensated rk2 939.7M at 1M - numerics identical to the XLA
+    # frozen path (f64 interpret parity ~1e-18, tests).  Requires
+    # frozen_cells, rk2/rk4, num_rays a multiple of
+    # pallas_block_rows * 128 (pallas.efit_step.pad_rays), forward only
+    # (no autodiff through the kernel).  Off-TPU the kernel runs in
+    # interpret mode (tests/CPU parity).
+    pallas_window: bool = False
+    pallas_block_rows: int = 32
 
     def __post_init__(self):
         if self.method not in set(STEPPERS) | {"adaptive_rk4"}:
@@ -168,6 +182,15 @@ class Solver:
                 raise ValueError(
                     f"freeze_every={self.freeze_every} must divide "
                     f"sub_steps={self.sub_steps}")
+        if self.pallas_window:
+            if not self.frozen_cells:
+                raise ValueError("pallas_window needs frozen_cells=True")
+            if self.method not in ("rk2", "rk4"):
+                raise ValueError("pallas_window supports rk2/rk4 only")
+            if self.remat_substeps:
+                raise ValueError(
+                    "pallas_window is forward-only (no autodiff through "
+                    "the kernel); use the XLA frozen path for gradients")
 
     # -- single recorded step (sub_steps integrator steps, jitted) --------
     def is_adaptive(self):
@@ -222,6 +245,16 @@ class Solver:
         function run/trace compose under their own jit.  Keep jit (or
         checked_jit) at the outermost composition only: in debug mode the
         checkify wrapper raises host-side and must not be re-traced."""
+        if self.pallas_window:
+            from graph_framework_tpu.pallas.efit_step import (
+                make_frozen_window_step)
+            return make_frozen_window_step(
+                self.eq, self.dispersion, method=self.method, dt=self.dt,
+                sub_steps=self.sub_steps, freeze_every=self.freeze_every,
+                block_rows=self.pallas_block_rows,
+                compensated=self.compensated,
+                interpret=jax.default_backend() != "tpu")
+
         rhs = make_ray_rhs(self.dispersion, self.eq,
                            holomorphic=self.holomorphic)
         if self.frozen_cells:

@@ -1,0 +1,124 @@
+"""Parity tests for the VMEM-resident frozen-window EFIT step kernel.
+
+The kernel (pallas/efit_step.py) must reproduce the XLA frozen-cell path
+(Solver frozen_cells/freeze_every) exactly: same window-base freeze, same
+stepper algebra, same compensated accumulation.  Run in interpret mode on
+the CPU backend at f64, parity is ~1e-18 (the only differences are XLA
+fusion orderings)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graph_framework_tpu.solver import Solver, make_ray_state, init_k
+from graph_framework_tpu.models.dispersion import cold_plasma
+from graph_framework_tpu.models.efit import make_efit
+from graph_framework_tpu.pallas.efit_step import (
+    make_frozen_window_step, pad_rays)
+from graph_framework_tpu.ops.compensated import init_comp_carry, comp_state
+
+from conftest import REFERENCE_DATA
+
+
+@pytest.fixture(scope="module")
+def eq():
+    return make_efit(REFERENCE_DATA / "efit.nc", dtype=jnp.float64)
+
+
+@pytest.fixture(scope="module")
+def state(eq):
+    st = make_ray_state(256, w=650.0, x=2.0, y=0.0, z=0.0,
+                        kx=-400.0, ky=150.0, kz=0.0)
+    return init_k(st, cold_plasma, eq, "kx")
+
+
+def _max_dev(a, b):
+    return max(float(jnp.max(jnp.abs(getattr(a, f) - getattr(b, f))))
+               for f in a._fields)
+
+
+@pytest.mark.parametrize("method,k", [("rk2", 1), ("rk2", 5), ("rk4", 5)])
+def test_window_kernel_matches_xla_frozen(eq, state, method, k):
+    sol = Solver(cold_plasma, eq, method=method, dt=1e-4, sub_steps=10,
+                 frozen_cells=True, freeze_every=k)
+    ref = sol.run(state, 3)
+    step = make_frozen_window_step(
+        eq, cold_plasma, method=method, dt=1e-4, sub_steps=10,
+        freeze_every=k, block_rows=2, interpret=True)
+
+    def go(c):
+        def body(c, _):
+            return step(c), None
+        c, _ = jax.lax.scan(body, c, None, length=3)
+        return c
+
+    out = jax.jit(go)(state)
+    assert _max_dev(out, ref) < 1e-12
+
+
+def test_window_kernel_compensated(eq, state):
+    sol = Solver(cold_plasma, eq, method="rk2", dt=1e-4, sub_steps=10,
+                 frozen_cells=True, freeze_every=5, compensated=True)
+    ref = sol.run(state, 3)
+    step = make_frozen_window_step(
+        eq, cold_plasma, method="rk2", dt=1e-4, sub_steps=10,
+        freeze_every=5, block_rows=2, compensated=True, interpret=True)
+
+    def go(c):
+        def body(c, _):
+            return step(c), None
+        c, _ = jax.lax.scan(body, c, None, length=3)
+        return c
+
+    out = comp_state(jax.jit(go)(init_comp_carry(state)))
+    assert _max_dev(out, ref) < 1e-12
+
+
+def test_solver_pallas_window_path(eq, state):
+    """Solver(pallas_window=True) routes run/trace through the kernel and
+    matches the XLA frozen path (off-TPU: interpret mode)."""
+    ref = Solver(cold_plasma, eq, method="rk2", dt=1e-4, sub_steps=10,
+                 frozen_cells=True, freeze_every=5).run(state, 2)
+    sol = Solver(cold_plasma, eq, method="rk2", dt=1e-4, sub_steps=10,
+                 frozen_cells=True, freeze_every=5,
+                 pallas_window=True, pallas_block_rows=2)
+    out = sol.run(state, 2)
+    assert _max_dev(out, ref) < 1e-12
+    # compensated composition too
+    refc = Solver(cold_plasma, eq, method="rk2", dt=1e-4, sub_steps=10,
+                  frozen_cells=True, freeze_every=5,
+                  compensated=True).run(state, 2)
+    outc = Solver(cold_plasma, eq, method="rk2", dt=1e-4, sub_steps=10,
+                  frozen_cells=True, freeze_every=5, compensated=True,
+                  pallas_window=True, pallas_block_rows=2).run(state, 2)
+    assert _max_dev(outc, refc) < 1e-12
+
+
+def test_solver_pallas_window_validation(eq):
+    with pytest.raises(ValueError, match="frozen_cells"):
+        Solver(cold_plasma, eq, method="rk2", pallas_window=True)
+    with pytest.raises(ValueError, match="rk2/rk4"):
+        Solver(cold_plasma, eq, method="split_simplextic",
+               frozen_cells=True, pallas_window=True)
+    with pytest.raises(ValueError, match="forward-only"):
+        Solver(cold_plasma, eq, method="rk2", frozen_cells=True,
+               pallas_window=True, remat_substeps=True)
+
+
+def test_pad_rays(eq, state):
+    sub = jax.tree.map(lambda a: a[:100], state)   # 100 not a tile multiple
+    padded, n = pad_rays(sub, block_rows=2)
+    assert n == 100 and padded.x.shape[0] == 256
+    # cyclic repetition: padded rays are copies of early rays
+    assert jnp.allclose(padded.x[100:200], sub.x[:100])
+    # stepping the padded ensemble reproduces the unpadded rays
+    sol = Solver(cold_plasma, eq, method="rk2", dt=1e-4, sub_steps=10,
+                 frozen_cells=True, freeze_every=5,
+                 pallas_window=True, pallas_block_rows=2)
+    out = sol.run(padded, 2)
+    ref = Solver(cold_plasma, eq, method="rk2", dt=1e-4, sub_steps=10,
+                 frozen_cells=True, freeze_every=5).run(sub, 2)
+    dev = max(float(jnp.max(jnp.abs(getattr(out, f)[:100]
+                                    - getattr(ref, f))))
+              for f in ref._fields)
+    assert dev < 1e-12
