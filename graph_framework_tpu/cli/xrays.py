@@ -91,6 +91,12 @@ def build_parser():
                         "per substep serves all RK stages (EFIT rk2/rk4; "
                         "models/efit.FrozenCellEfit documents the "
                         "narrowed contract and 1e-9 error bound)")
+    p.add_argument("--stream_segment", type=int, default=16,
+                   help="buffer N recorded rows on device and stream "
+                        "them to the writer as one bulk block "
+                        "(Solver.trace_segmented; amortizes per-transfer "
+                        "overhead ~Nx).  1 = per-row streaming (the "
+                        "reference's write_step cadence)")
     p.add_argument("--pallas_window", action="store_true",
                    help="with --frozen_cells: run each freeze window as "
                         "one VMEM-resident multi-substep Pallas kernel "
@@ -236,17 +242,45 @@ def main(argv=None):
                       f"y={float(s.y[sample]):.6g} "
                       f"z={float(s.z[sample]):.6g}")
 
+        def write_seg(i, row):
+            s, ex = row                # host (numpy-backed) row
+            if s.x.shape[0] != n:      # trim pallas_window padding
+                s = jax.tree.map(lambda a: a[:n], s)
+                ex = jax.tree.map(lambda a: a[:n], ex)
+            writer.write_step(i, state_row(s, residual=ex["residual"]))
+            if args.print_ray:
+                print(f"step {i}: t={float(s.t[sample]):.6g} "
+                      f"x={float(s.x[sample]):.6g} "
+                      f"y={float(s.y[sample]):.6g} "
+                      f"z={float(s.z[sample]):.6g}")
+
+        seg = max(1, min(args.stream_segment, num_steps))
+        res_raw = residual_fn(dfun, eq)
+
+        def extras_fn(s):
+            return {"residual": res_raw(s)}
+
         # compile the recorded step separately so the trace timer tells
-        # the reference's compile-vs-steps story (xrays_bench.cpp:41-44)
+        # the reference's compile-vs-steps story (xrays_bench.cpp:41-44);
+        # both paths warm the SAME cached executable the trace drives
         t0 = time.perf_counter()
-        step_fn = sol.carry_step_fn()
-        warm = step_fn(sol.init_carry(state))
+        if seg > 1:
+            warm = sol.make_segment_fn(seg, extras_fn)(
+                sol.init_carry(state))
+        else:
+            warm = sol.carry_step_fn()(sol.init_carry(state))
         jax.block_until_ready(warm)
         del warm
         timings["compile_s"] = round(time.perf_counter() - t0, 3)
 
         t0 = time.perf_counter()
-        sol.trace_streaming(state, num_steps, write)
+        if seg > 1:
+            # segment-buffered streaming: K recorded rows per bulk
+            # device->host block (Solver.trace_segmented)
+            sol.trace_segmented(state, num_steps, write_seg,
+                                segment=seg, extras=extras_fn)
+        else:
+            sol.trace_streaming(state, num_steps, write)
         writer.close()
         el = time.perf_counter() - t0
         steps = num_steps * args.sub_steps

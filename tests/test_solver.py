@@ -230,3 +230,50 @@ def test_init_k_dtype_aware_default_tolerance(efit_file):
                    fromlist=["residual_fn"]).residual_fn(
             disp.cold_plasma, eq64)(auto64)))
     assert float(res) < 1e-20
+
+
+def test_trace_segmented_matches_trace():
+    """Segment-buffered streaming (Solver.trace_segmented) delivers the
+    exact rows of the device-resident trace, including an odd tail
+    segment, traced extras, and the compensated carry."""
+    eq = make_gaussian_density()
+    st = make_ray_state(8, w=20.0, x=-2.0, kx=19.0)
+    st = init_k(st, disp.simple, eq, "kx")
+
+    for kwargs in (dict(), dict(compensated=True)):
+        sol = Solver(disp.simple, eq, method="rk2", dt=1e-4, sub_steps=5,
+                     **kwargs)
+        _, traj = sol.trace(st, 7)
+        res_raw = residual_fn(disp.simple, eq)
+
+        rows = {}
+
+        def writer(i, row):
+            s, ex = row
+            rows[i] = (s, ex["residual"])
+
+        final = sol.trace_segmented(
+            st, 7, writer, segment=3,
+            extras=lambda s: {"residual": res_raw(s)})
+        assert sorted(rows) == list(range(8))
+        for i in range(8):
+            s, r = rows[i]
+            row_ref = jax.tree.map(lambda a: a[i], traj)
+            for f in st._fields:
+                np.testing.assert_allclose(
+                    np.asarray(getattr(s, f)),
+                    np.asarray(getattr(row_ref, f)), rtol=0, atol=0)
+            np.testing.assert_allclose(
+                r, np.asarray(res_raw(row_ref)), rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(final.x),
+                                      np.asarray(rows[7][0].x))
+
+    # without extras the writer receives plain RayState rows
+    sol = Solver(disp.simple, eq, method="rk4", dt=1e-4, sub_steps=2)
+    _, traj = sol.trace(st, 4)
+    got = {}
+    sol.trace_segmented(st, 4, lambda i, s: got.update({i: s}), segment=4)
+    for i in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(got[i].x),
+            np.asarray(jax.tree.map(lambda a: a[i], traj).x))
