@@ -265,36 +265,6 @@ class VmecEquilibrium(Equilibrium):
 
         (r, z, _l), (dr, dz, dl) = _rzl_and_jac(self, s, u, v)
 
-        cv, sv = jnp.cos(v), jnp.sin(v)
-
-        # rot(v) applied to (a, b, c): (a cv - b sv, a sv + b cv, c)
-        def rot(a, b, c):
-            return (a * cv - b * sv, a * sv + b * cv, c)
-
-        def cross(a, b):
-            return (a[1] * b[2] - a[2] * b[1],
-                    a[2] * b[0] - a[0] * b[2],
-                    a[0] * b[1] - a[1] * b[0])
-
-        def dot(a, b):
-            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
-
-        zero = jnp.zeros_like(r)
-        esub_s = rot(dr[0], zero, dz[0])
-        esub_u = rot(dr[1], zero, dz[1])
-        esub_v = rot(dr[2], r, dz[2])
-
-        cuv = cross(esub_u, esub_v)
-        jac = dot(esub_s, cuv)
-        inv_jac = 1.0 / jac
-
-        def scale(vec, f):
-            return jnp.stack([vec[0] * f, vec[1] * f, vec[2] * f])
-
-        esup_s = scale(cuv, inv_jac)
-        esup_u = scale(cross(esub_v, esub_s), inv_jac)
-        esup_v = scale(cross(esub_s, esub_u), inv_jac)
-
         phip = self.signj * self.dphi                     # d(phi)/ds
 
         # grad-of-sum = elementwise derivative (chi is elementwise in s)
@@ -303,15 +273,7 @@ class VmecEquilibrium(Equilibrium):
         dchi_ds = jax.grad(chi_sum,
                            holomorphic=jnp.iscomplexobj(s))(s)
 
-        jbsupu = (dchi_ds - phip * dl[2]) * inv_jac
-        jbsupv = phip * (1.0 + dl[1]) * inv_jac
-        bvec = jnp.stack([
-            jbsupu * esub_u[0] + jbsupv * esub_v[0],
-            jbsupu * esub_u[1] + jbsupv * esub_v[1],
-            jbsupu * esub_u[2] + jbsupv * esub_v[2]])
-
-        return dict(r=r, z=z, esup=jnp.stack([esup_s, esup_u, esup_v]),
-                    bvec=bvec, jac=jac)
+        return _assemble_geometry(v, r, z, dr, dz, dl, dchi_ds, phip)
 
     def esup(self, pos):
         return self._geometry(pos)["esup"]
@@ -327,6 +289,46 @@ class VmecEquilibrium(Equilibrium):
         importantly - halving the reverse-mode cotangent paths through the
         spline gathers and trig grids."""
         return _BoundVmec(self, self._geometry(pos))
+
+    def freeze_cells(self, pos):
+        """Radial freeze window (VERDICT r4 next-4): fetch each ray's
+        radial spline blocks (rmnc+zmns concatenated, lmns, chi) ONCE at
+        the window-base s and return a view whose geometry evaluates the
+        radial polynomials against them with cell-local coordinates -
+        only the slow radial CELL is frozen; the polynomial in s and the
+        poloidal/toroidal trig stay exact at every stage.  Same narrowed
+        extrapolation contract as models/efit.FrozenCellEfit (s drifts
+        O(dt * v_s) per substep against ds = 1/99 cells).  Enables
+        ``Solver(frozen_cells=True, freeze_every=K)`` for VMEC.
+        """
+        if not self.cell_local:
+            raise ValueError("freeze_cells requires cell_local tables")
+        if self.quirky_chi:
+            raise ValueError("freeze_cells with quirky_chi is not "
+                             "supported (comparison-only path)")
+        s = pos[0]
+        if self.grid_scatter is not None:
+            rz_tab = jnp.concatenate(
+                [self._grid_table(self.rmnc_coeffs),
+                 self._grid_table(self.zmns_coeffs)], axis=-1)
+            l_tab = self._grid_table(self.lmns_coeffs)
+        else:
+            rz_tab = jnp.concatenate(
+                [self.rmnc_coeffs, self.zmns_coeffs], axis=-1)
+            l_tab = self.lmns_coeffs
+        batched = jnp.ndim(s) == 1
+        idx_f = table_index_1d(s, self.ds, self.sminf, rz_tab.shape[0])
+        idx_h = table_index_1d(s, self.ds, self.sminh, l_tab.shape[0])
+        idx_c = table_index_1d(s, self.ds, self.sminf,
+                               self.chi_coeffs.shape[0])
+        f = jnp.real(s).dtype
+        return _FrozenRadialVmec(
+            base=self,
+            rz_block=_block_fetch(rz_tab, idx_f, batched),
+            l_block=_block_fetch(l_tab, idx_h, batched),
+            chi_block=self.chi_coeffs[idx_c],
+            idx_f=idx_f.astype(f), idx_h=idx_h.astype(f),
+            idx_c=idx_c.astype(f))
 
     def characteristic_field(self):
         """|B| at the axis (s, u, v) = 0 (equilibrium.hpp:2198-2205)."""
@@ -355,6 +357,51 @@ class VmecEquilibrium(Equilibrium):
 
     def ion_temperature(self, index, pos):
         return self.electron_temperature(pos)
+
+
+def _assemble_geometry(v, r, z, dr, dz, dl, dchi_ds, phip):
+    """Covariant/contravariant bases, Jacobian and B from the (R, Z, l)
+    jet - the basis algebra of ``_geometry`` (equilibrium.hpp:2073-2141),
+    shared by the full and frozen-radial paths."""
+    cv, sv = jnp.cos(v), jnp.sin(v)
+
+    # rot(v) applied to (a, b, c): (a cv - b sv, a sv + b cv, c)
+    def rot(a, b, c):
+        return (a * cv - b * sv, a * sv + b * cv, c)
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    zero = jnp.zeros_like(r)
+    esub_s = rot(dr[0], zero, dz[0])
+    esub_u = rot(dr[1], zero, dz[1])
+    esub_v = rot(dr[2], r, dz[2])
+
+    cuv = cross(esub_u, esub_v)
+    jac = dot(esub_s, cuv)
+    inv_jac = 1.0 / jac
+
+    def scale(vec, f):
+        return jnp.stack([vec[0] * f, vec[1] * f, vec[2] * f])
+
+    esup_s = scale(cuv, inv_jac)
+    esup_u = scale(cross(esub_v, esub_s), inv_jac)
+    esup_v = scale(cross(esub_s, esub_u), inv_jac)
+
+    jbsupu = (dchi_ds - phip * dl[2]) * inv_jac
+    jbsupv = phip * (1.0 + dl[1]) * inv_jac
+    bvec = jnp.stack([
+        jbsupu * esub_u[0] + jbsupv * esub_v[0],
+        jbsupu * esub_u[1] + jbsupv * esub_v[1],
+        jbsupu * esub_u[2] + jbsupv * esub_v[2]])
+
+    return dict(r=r, z=z, esup=jnp.stack([esup_s, esup_u, esup_v]),
+                bvec=bvec, jac=jac)
 
 
 class _BoundVmec:
@@ -427,6 +474,109 @@ class _BoundVmec:
 
     def ion_temperature(self, index, pos):
         return self._eq.ion_temperature(index, pos)
+
+
+def _frozen_jet(block, u, scale):
+    """Horner value + d/ds over an already-fetched (..., 4, M) radial
+    block and cell-local coordinate (may run slightly past [0, 1) - the
+    frozen-window extrapolation contract)."""
+    u = u[..., None] if jnp.ndim(u) else u
+    c0, c1 = block[..., 0, :], block[..., 1, :]
+    c2, c3 = block[..., 2, :], block[..., 3, :]
+    val = c0 + u * (c1 + u * (c2 + u * c3))
+    dval = (c1 + u * (2.0 * c2 + 3.0 * u * c3)) / scale
+    return val, dval
+
+
+class _FrozenRadialVmec:
+    """Radial-cell-frozen VMEC view (see VmecEquilibrium.freeze_cells).
+
+    Geometry evaluates the radial polynomials against the window-base
+    blocks; trig/mode sums and the analytic profiles stay exact functions
+    of the CURRENT (s, u, v).  Built inside traces by freeze_cells; the
+    Solver's frozen-cell stepper rebuilds the ray RHS against it each
+    window (solver.raw_step_fn)."""
+
+    __slots__ = ("base", "rz_block", "l_block", "chi_block",
+                 "idx_f", "idx_h", "idx_c")
+
+    def __init__(self, base, rz_block, l_block, chi_block,
+                 idx_f, idx_h, idx_c):
+        self.base = base
+        self.rz_block = rz_block
+        self.l_block = l_block
+        self.chi_block = chi_block
+        self.idx_f = idx_f
+        self.idx_h = idx_h
+        self.idx_c = idx_c
+
+    @property
+    def ion_masses(self):
+        return self.base.ion_masses
+
+    @property
+    def ion_charges(self):
+        return self.base.ion_charges
+
+    @property
+    def num_ion_species(self):
+        return self.base.num_ion_species
+
+    def is_cartesian(self):
+        return False
+
+    def supports_batched(self):
+        return True
+
+    def _geometry(self, pos):
+        eq = self.base
+        s, u, v = pos[0], pos[1], pos[2]
+        un_f = (s - eq.sminf) / eq.ds - self.idx_f
+        un_h = (s - eq.sminh) / eq.ds - self.idx_h
+        rzm, rzm_s = _frozen_jet(self.rz_block, un_f, eq.ds)
+        lm, lm_s = _frozen_jet(self.l_block, un_h, eq.ds)
+        if eq.grid_scatter is not None:
+            ca, sa = _grid_trig(eq.xm_unique, eq.xn_unique, u, v)
+            xm = eq.xm_grid.astype(ca.dtype)
+            xn = eq.xn_grid.astype(ca.dtype)
+        else:
+            ca, sa = _mode_trig(eq.xm, eq.xn, u, v)
+            xm = eq.xm.astype(ca.dtype)
+            xn = eq.xn.astype(ca.dtype)
+        m = ca.shape[-1]
+        rm, zm = rzm[..., :m], rzm[..., m:]
+        rm_s, zm_s = rzm_s[..., :m], rzm_s[..., m:]
+        (r, z, _l), (dr, dz, dl) = _mode_sums(
+            rm, zm, lm, rm_s, zm_s, lm_s, ca, sa, xm, xn)
+
+        un_c = (s - eq.sminf) / eq.ds - self.idx_c
+        cb = self.chi_block
+        dchi_ds = (cb[..., 1] + un_c * (2.0 * cb[..., 2]
+                   + 3.0 * un_c * cb[..., 3])) / eq.ds
+        return _assemble_geometry(v, r, z, dr, dz, dl, dchi_ds,
+                                  eq.signj * eq.dphi)
+
+    def bind_point(self, pos):
+        return _BoundVmec(self, self._geometry(pos))
+
+    def esup(self, pos):
+        return self._geometry(pos)["esup"]
+
+    def magnetic_field(self, pos):
+        return self._geometry(pos)["bvec"]
+
+    # profiles are analytic in s - exact, delegate to the base
+    def electron_density(self, pos):
+        return self.base.electron_density(pos)
+
+    def electron_temperature(self, pos):
+        return self.base.electron_temperature(pos)
+
+    def ion_density(self, index, pos):
+        return self.base.ion_density(index, pos)
+
+    def ion_temperature(self, index, pos):
+        return self.base.ion_temperature(index, pos)
 
 
 def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
@@ -507,6 +657,12 @@ def _rzl_and_jac(eq: VmecEquilibrium, s, u, v):
         xm = eq.xm.astype(ca.dtype)
         xn = eq.xn.astype(ca.dtype)
 
+    return _mode_sums(rm, zm, lm, rm_s, zm_s, lm_s, ca, sa, xm, xn)
+
+
+def _mode_sums(rm, zm, lm, rm_s, zm_s, lm_s, ca, sa, xm, xn):
+    """Fourier mode sums for (R, Z, l) and the nine derivatives (the tail
+    of :func:`_rzl_and_jac`, shared with the frozen-radial path)."""
     rm_sa = rm * sa
     zm_ca = zm * ca
     lm_ca = lm * ca

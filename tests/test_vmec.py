@@ -104,3 +104,39 @@ def test_gradients_wrt_fourier_coefficients(eq):
     assert g.shape == eq.rmnc_coeffs.shape
     assert np.isfinite(np.asarray(g)).all()
     assert np.any(np.asarray(g) != 0)
+
+
+def test_vmec_frozen_radial_cells(vmec_file):
+    """Radial freeze window (VmecEquilibrium.freeze_cells): the frozen
+    view is EXACT at the window-base state (same cell, same polynomial)
+    and the frozen trace stays within the extrapolation bound of the
+    plain trace (s drifts O(dt*v_s) against ds = 1/99 cells)."""
+    import jax
+    from graph_framework_tpu.solver import Solver, make_ray_state, init_k
+    from graph_framework_tpu.models.dispersion import cold_plasma
+
+    eq = make_vmec(vmec_file, dtype=jnp.float64)
+    st = make_ray_state(8, w=900.0, x=0.5, y=0.5, z=0.0,
+                        kx=500.0, ky=0.0, kz=0.0)
+    st = init_k(st, cold_plasma, eq, "kx")
+
+    pos = jnp.stack([st.x, st.y, st.z])
+    feq = eq.freeze_cells(pos)
+    g0, g1 = eq._geometry(pos), feq._geometry(pos)
+    assert float(jnp.max(jnp.abs(g0["bvec"] - g1["bvec"]))) < 1e-10
+    assert float(jnp.max(jnp.abs(g0["jac"] - g1["jac"]))) < 1e-12
+
+    dt = 2.5e-6
+    plain = Solver(cold_plasma, eq, method="rk4", dt=dt, sub_steps=10)
+    frz = Solver(cold_plasma, eq, method="rk4", dt=dt, sub_steps=10,
+                 frozen_cells=True, freeze_every=5)
+    r0, r1 = plain.run(st, 10), frz.run(st, 10)
+    dev = max(float(jnp.max(jnp.abs(getattr(r1, f) - getattr(r0, f))))
+              for f in ("x", "y", "z", "kx", "ky", "kz"))
+    assert dev < 1e-9, dev
+
+    # guarded invalid configurations
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quirky_chi"):
+        make_vmec(vmec_file, dtype=jnp.float64,
+                  quirky_chi=True).freeze_cells(pos)
