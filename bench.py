@@ -151,7 +151,11 @@ def _make(dtype):
         state = make_ray_state(NUM_RAYS, w=900.0, x=0.5, y=0.5, z=0.0,
                                kx=500.0, ky=0.0, kz=0.0, dtype=dtype)
     else:
-        eq = make_efit(EFIT_FILE, dtype=dtype)
+        # BENCH_CUSTOM_JET=1: analytic-jet custom_jvp for the frozen
+        # path's plasma_quantities (models/efit._make_frozen_pq_jet)
+        eq = make_efit(EFIT_FILE, dtype=dtype,
+                       custom_jet=os.environ.get("BENCH_CUSTOM_JET",
+                                                 "0") == "1")
         # Launch matches xrays_bench.cpp:63-72 (w=500, x=2.5, radial
         # launch) EXCEPT ky: the reference's ky=kz=0 launch is purely
         # perpendicular (B is toroidal ~ y-hat here), which makes the

@@ -69,6 +69,12 @@ class EfitEquilibrium(Equilibrium):
     # ops.spline.rebase_cells_*).
     cell_local: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # Use the analytic-jet custom_jvp for the FROZEN path's
+    # plasma_quantities (_make_frozen_pq_jet): hand-derived jet-linear
+    # tangent rule instead of autodiff through the polynomial/algebra
+    # chain.  Gradient-parity-tested; opt-in for fwd+bwd benchmarks.
+    custom_jet: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def ion_masses(self):
@@ -247,6 +253,129 @@ class EfitEquilibrium(Equilibrium):
         return jnp.sqrt(jnp.sum(b * b))
 
 
+def _block_jet2(block, u, v, dr, dz):
+    """Value + first + second derivatives of the bicubic from one (..., 16)
+    block: (psi, psi_r, psi_z, psi_rr, psi_rz, psi_zz).  Pure polynomials
+    over the same block as eval_bicubic_jet_block - the 'second jet' the
+    analytic-tangent rule below needs."""
+    b = block.reshape(block.shape[:-1] + (4, 4))
+    v_ = v[..., None] if jnp.ndim(v) else v
+    ca = b[..., 0] + v_ * (b[..., 1] + v_ * (b[..., 2] + v_ * b[..., 3]))
+    cb = b[..., 1] + v_ * (2.0 * b[..., 2] + 3.0 * v_ * b[..., 3])
+    cc = 2.0 * b[..., 2] + 6.0 * v_ * b[..., 3]
+    val = ca[..., 0] + u * (ca[..., 1] + u * (ca[..., 2] + u * ca[..., 3]))
+    p_u = ca[..., 1] + u * (2.0 * ca[..., 2] + 3.0 * u * ca[..., 3])
+    p_v = cb[..., 0] + u * (cb[..., 1] + u * (cb[..., 2] + u * cb[..., 3]))
+    p_uu = 2.0 * ca[..., 2] + 6.0 * u * ca[..., 3]
+    p_uv = cb[..., 1] + u * (2.0 * cb[..., 2] + 3.0 * u * cb[..., 3])
+    p_vv = cc[..., 0] + u * (cc[..., 1] + u * (cc[..., 2] + u * cc[..., 3]))
+    return (val, p_u / dr, p_v / dz, p_uu / (dr * dr),
+            p_uv / (dr * dz), p_vv / (dz * dz))
+
+
+def _make_frozen_pq_jet(base):
+    """Analytic-jet plasma_quantities for the frozen path (VERDICT r4
+    next-5): a jax.custom_jvp whose tangent rule is a hand-derived
+    jet-linear map instead of autodiff through the polynomial/algebra
+    chain - the XLA-level version of the round-3 VMEC geometry-jet
+    pattern (pallas/vmec_geom.py custom_jvp).  Under the trace gradient
+    (reverse over the RHS's grad-of-D), jax linearizes this rule once per
+    evaluation point and transposes the LINEAR map, so the backward pass
+    consumes precomputed jet entries (matvecs) rather than re-deriving
+    and transposing the full chain.
+
+    Differentiable in positions AND blocks (the bicubic/profile values
+    are linear in their coefficients, so block tangents are the same
+    Horner over the tangent blocks - table gradients stay exact, as the
+    config5 test pins); iu/jv/pidx tangents are ignored (frozen indices:
+    the reference's piecewise-constant-in-index semantics,
+    piecewise.hpp:241-243)."""
+    dr, dz, dpsi = base.dr, base.dz, base.dpsi
+    rmin, zmin, psimin = base.rmin, base.zmin, base.psimin
+    nes, tes, ps = base.ne_scale, base.te_scale, base.pres_scale
+    q = 1.60218e-19                # reference's rounded q + ni=te quirk
+
+    def _prof(block, up):
+        """Profile Horner values + d/dup over one (..., 4, 4) block."""
+        u_ = up[..., None] if jnp.ndim(up) else up
+        val = (block[..., 0] + u_ * (block[..., 1]
+               + u_ * (block[..., 2] + u_ * block[..., 3])))
+        dv = (block[..., 1] + u_ * (2.0 * block[..., 2]
+              + 3.0 * u_ * block[..., 3]))
+        return val, dv
+
+    @jax.custom_jvp
+    def pq(psi_block, prof_block, iu, jv, pidx, x, y, z):
+        r = jnp.sqrt(x * x + y * y)
+        u = (r - rmin) / dr - iu
+        v = (z - zmin) / dz - jv
+        psi_val, dpsi_dr, dpsi_dz = eval_bicubic_jet_block(
+            psi_block, u, v, dr, dz)
+        up = (psi_val - psimin) / dpsi - pidx
+        vals, _ = _prof(prof_block, up)
+        ne = nes * vals[..., 0]
+        te = tes * vals[..., 1]
+        pres = ps * vals[..., 2]
+        fpol = vals[..., 3]
+        br = dpsi_dz / r
+        bp = fpol / r
+        bz = -dpsi_dr / r
+        c, s = x / r, y / r
+        ti = (pres - ne * te * q) / (te * q)
+        return (br * c - bp * s, br * s + bp * c, bz, ne, te, ti)
+
+    @pq.defjvp
+    def pq_jvp(primals, tangents):
+        psi_block, prof_block, iu, jv, pidx, x, y, z = primals
+        tC, tQ, _, _, _, tx, ty, tz = tangents
+
+        r = jnp.sqrt(x * x + y * y)
+        c, s = x / r, y / r
+        u = (r - rmin) / dr - iu
+        v = (z - zmin) / dz - jv
+        psi_val, psi_r, psi_z, psi_rr, psi_rz, psi_zz = _block_jet2(
+            psi_block, u, v, dr, dz)
+        up = (psi_val - psimin) / dpsi - pidx
+        vals, dvals = _prof(prof_block, up)
+        ne = nes * vals[..., 0]
+        te = tes * vals[..., 1]
+        pres = ps * vals[..., 2]
+        fpol = vals[..., 3]
+        br = psi_z / r
+        bp = fpol / r
+        bz = -psi_r / r
+        ti = (pres - ne * te * q) / (te * q)
+        out = (br * c - bp * s, br * s + bp * c, bz, ne, te, ti)
+
+        # --- tangents: linear in (tx, ty, tz, tC, tQ) --------------------
+        tr = c * tx + s * ty
+        tu, tv = tr / dr, tz / dz
+        # block tangents: the SAME jet over the tangent coefficients
+        # (bicubic value is linear in its block)
+        pt, pt_r, pt_z, _, _, _ = _block_jet2(tC, u, v, dr, dz)
+        tpsi = psi_r * tr + psi_z * tz + pt
+        tpsi_r = psi_rr * tr + psi_rz * tz + pt_r
+        tpsi_z = psi_rz * tr + psi_zz * tz + pt_z
+        tup = tpsi / dpsi
+        qt, _ = _prof(tQ, up)       # profile linear in its block
+        tq_all = dvals * (tup[..., None] if jnp.ndim(tup) else tup) + qt
+        tne = nes * tq_all[..., 0]
+        tte = tes * tq_all[..., 1]
+        tpres = ps * tq_all[..., 2]
+        tfpol = tq_all[..., 3]
+        tc = (tx - c * tr) / r
+        ts = (ty - s * tr) / r
+        tbr = (tpsi_z - br * tr) / r
+        tbp = (tfpol - bp * tr) / r
+        tbz = (-tpsi_r - bz * tr) / r
+        tbx = tbr * c + br * tc - tbp * s - bp * ts
+        tby = tbr * s + br * ts + tbp * c + bp * tc
+        tti = tpres / (te * q) - tne - pres * tte / (q * te * te)
+        return out, (tbx, tby, tbz, tne, tte, tti)
+
+    return pq
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FrozenCellEfit(Equilibrium):
@@ -294,6 +423,12 @@ class FrozenCellEfit(Equilibrium):
     def plasma_quantities(self, pos):
         base = self.base
         x, y, z = pos[0], pos[1], pos[2]
+        if base.custom_jet:
+            bx, by, bz, ne, te, ti = _make_frozen_pq_jet(base)(
+                self.psi_block, self.prof_block, self.iu, self.jv,
+                self.pidx, x, y, z)
+            return PlasmaQuantities(b=jnp.stack([bx, by, bz]), ne=ne,
+                                    te=te, ni=(te,), ti=(ti,))
         r = jnp.sqrt(x * x + y * y)
         u = (r - base.rmin) / base.dr - self.iu
         v = (z - base.zmin) / base.dz - self.jv
@@ -328,7 +463,7 @@ class FrozenCellEfit(Equilibrium):
 
 
 def make_efit(path, dtype=jnp.float64, replicate_reference_quirks=True,
-              cell_local=True):
+              cell_local=True, custom_jet=False):
     """Load an EFIT spline file (make_efit, equilibrium.hpp:1627-1844).
 
     ``replicate_reference_quirks``: the reference's efit constructor
@@ -382,6 +517,7 @@ def make_efit(path, dtype=jnp.float64, replicate_reference_quirks=True,
             fpol_coeffs=jnp.asarray(fpol, dtype=dtype),
             profile_coeffs=jnp.asarray(profile, dtype=dtype),
             cell_local=cell_local,
+            custom_jet=custom_jet,
             psimin=float(arr("psimin")),
             dpsi=float(arr("dpsi")),
             rmin=float(arr("rmin")),

@@ -74,28 +74,13 @@ def pad_to_devices(n: int, mesh: Mesh) -> int:
     return ((n + d - 1) // d) * d
 
 
-def run_blocked_sharded(solver, state, num_steps: int, mesh: Mesh,
-                        block_rays: Optional[int] = None):
-    """Advance ``num_steps`` recorded steps with the ensemble sharded
-    over the mesh AND blocked per device - the production composition
-    for pod-scale 1M-rays-per-chip runs.
-
-    ``Solver.run(block_rays=...)`` alone must not be used on a sharded
-    ensemble: its ``lax.map`` would scan over a SHARDED axis,
-    serializing the devices.  Here ``shard_map`` first splits the
-    ensemble into per-device locals (collective-free, like the whole
-    step kernel), and each device scans its own resident blocks - the
-    working-set fix of tools/probe_1m_chunking.py applied per chip.
-    ``block_rays`` is the PER-DEVICE block size (None: no blocking).
-    """
+def make_blocked_sharded_fn(solver, num_steps: int, mesh: Mesh,
+                            block_rays: Optional[int] = None):
+    """Build the jitted sharded+blocked trace function ``state -> state``
+    (see :func:`run_blocked_sharded`).  Build ONCE and reuse when timing:
+    each call to run_blocked_sharded constructs a fresh jit wrapper whose
+    retrace would pollute a measurement."""
     from jax.experimental.shard_map import shard_map
-
-    # run the separability guard EAGERLY here: inside shard_map/jit the
-    # state is traced and Solver._ensure_separable skips itself, so a
-    # non-separable Hamiltonian would silently symplectic-step without
-    # the reference's "Hamiltonian is not separable." error
-    # (solver.hpp:1076-1094).
-    solver._ensure_separable(state)
 
     spec = P(RAY_AXIS)
     step = solver.raw_step_fn()
@@ -129,4 +114,28 @@ def run_blocked_sharded(solver, state, num_steps: int, mesh: Mesh,
 
     fn = shard_map(local_run, mesh=mesh, in_specs=(spec,),
                    out_specs=spec, check_rep=False)
-    return jax.jit(fn)(state)
+    return jax.jit(fn)
+
+
+def run_blocked_sharded(solver, state, num_steps: int, mesh: Mesh,
+                        block_rays: Optional[int] = None):
+    """Advance ``num_steps`` recorded steps with the ensemble sharded
+    over the mesh AND blocked per device - the production composition
+    for pod-scale 1M-rays-per-chip runs.
+
+    ``Solver.run(block_rays=...)`` alone must not be used on a sharded
+    ensemble: its ``lax.map`` would scan over a SHARDED axis,
+    serializing the devices.  Here ``shard_map`` first splits the
+    ensemble into per-device locals (collective-free, like the whole
+    step kernel), and each device scans its own resident blocks - the
+    working-set fix of tools/probe_1m_chunking.py applied per chip.
+    ``block_rays`` is the PER-DEVICE block size (None: no blocking).
+    """
+    # run the separability guard EAGERLY here: inside shard_map/jit the
+    # state is traced and Solver._ensure_separable skips itself, so a
+    # non-separable Hamiltonian would silently symplectic-step without
+    # the reference's "Hamiltonian is not separable." error
+    # (solver.hpp:1076-1094).
+    solver._ensure_separable(state)
+    return make_blocked_sharded_fn(solver, num_steps, mesh,
+                                   block_rays)(state)

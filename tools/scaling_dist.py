@@ -62,7 +62,7 @@ from graph_framework_tpu.models import make_efit
 from graph_framework_tpu.models import dispersion as disp
 from graph_framework_tpu.models.rays import RayState, residual_fn
 from graph_framework_tpu.solver import Solver
-from graph_framework_tpu.parallel.mesh import run_blocked_sharded
+from graph_framework_tpu.parallel.mesh import make_blocked_sharded_fn
 
 mesh = Mesh(np.asarray(jax.devices()), ("rays",))
 sharding = NamedSharding(mesh, P("rays"))
@@ -82,7 +82,8 @@ eq = make_efit("/root/reference/graph_tests/efit.nc", dtype=jnp.float32)
 sol = Solver(disp.cold_plasma, eq, method="rk4", dt=1.0e-5, sub_steps=2)
 res = residual_fn(disp.cold_plasma, eq)
 raw = sol.raw_step_fn()
-K = 30
+K = 120     # long enough that per-variant wall clock is O(seconds):
+#             30-step runs measured +/-20% run-to-run on the shared host
 out = dict(nproc=nproc, steps=K, rays=N)
 
 @jax.jit
@@ -91,38 +92,56 @@ def step(s):
     # the workload's one collective: the Newton-style ensemble max
     return s2, jnp.max(res(s2))
 
+REPS = 3      # best-of: the shared-host scheduler adds +/-10-20% noise
+#               per run; the MIN estimates the coordination floor
+
 # -- variant A: collective + host readback every step ---------------------
 s, m = step(state); jax.block_until_ready(m)          # compile
-t0 = time.perf_counter()
-for _ in range(K):
-    s, m = step(s)
-    float(m)                     # host sync each step (collective + readback)
-el = time.perf_counter() - t0
+times = []
+for _ in range(REPS):
+    s = state
+    t0 = time.perf_counter()
+    for _ in range(K):
+        s, m = step(s)
+        float(m)                 # host sync each step (collective + readback)
+    times.append(time.perf_counter() - t0)
+el = min(times)
 out["collective_per_step"] = dict(t_steps_s=round(el, 3),
+    t_all=[round(t, 3) for t in times],
     ray_steps_per_s=round(N * K * 2 / el, 1), gmax=float(m))
 
 # -- variant B: collective amortized - readback every 10th step -----------
-s, m = step(state); jax.block_until_ready(m)
-t0 = time.perf_counter()
-for i in range(K):
-    s, m = step(s)
-    if (i + 1) % 10 == 0:
-        float(m)                 # converge check cadence
-float(m)
-el = time.perf_counter() - t0
+times = []
+for _ in range(REPS):
+    s = state
+    t0 = time.perf_counter()
+    for i in range(K):
+        s, m = step(s)
+        if (i + 1) % 10 == 0:
+            float(m)             # converge check cadence
+    float(m)
+    times.append(time.perf_counter() - t0)
+el = min(times)
 out["collective_every_10"] = dict(t_steps_s=round(el, 3),
+    t_all=[round(t, 3) for t in times],
     ray_steps_per_s=round(N * K * 2 / el, 1), gmax=float(m))
 
 # -- variant C: collective-free blocked shard_map (production trace) ------
-warm = run_blocked_sharded(sol, state, K, mesh, block_rays=1024)
+cfree = make_blocked_sharded_fn(sol, K, mesh, block_rays=1024)
+warm = cfree(state)
 jax.block_until_ready(warm)
-t0 = time.perf_counter()
-got = run_blocked_sharded(sol, state, K, mesh, block_rays=1024)
-jax.block_until_ready(got)
-el = time.perf_counter() - t0
+times = []
+for _ in range(REPS):
+    t0 = time.perf_counter()
+    got = cfree(state)
+    jax.block_until_ready(got)
+    times.append(time.perf_counter() - t0)
+el = min(times)
 out["collective_free"] = dict(t_steps_s=round(el, 3),
+    t_all=[round(t, 3) for t in times],
     ray_steps_per_s=round(N * K * 2 / el, 1),
-    x0=float(np.asarray(jax.device_get(got.x))[0]))
+    # multi-process global array: only local shards are addressable
+    x0=float(np.asarray(got.x.addressable_shards[0].data)[0]))
 
 if pid == 0:
     print(json.dumps(out), flush=True)
