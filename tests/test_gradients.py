@@ -246,3 +246,50 @@ def test_frozen_cells_table_gradients_match_plain(efit_file):
     np.testing.assert_allclose(np.asarray(g_frozen) / scale,
                                np.asarray(g_plain) / scale,
                                rtol=0, atol=1e-12)
+
+
+def test_custom_jet_frozen_parity(efit_file):
+    """Analytic-jet custom_jvp (efit._make_frozen_pq_jet): forward,
+    launch-gradient (second order through the jvp rule), and TABLE
+    gradients all match the autodiff frozen path."""
+    import dataclasses as dc
+    from graph_framework_tpu.models.efit import make_efit
+    from graph_framework_tpu.models.rays import make_ray_rhs
+    from graph_framework_tpu.models import dispersion as disp
+    from graph_framework_tpu.solver import Solver, make_ray_state, init_k
+
+    eq0 = make_efit(efit_file)
+    eqj = make_efit(efit_file, custom_jet=True)
+    st = make_ray_state(8, w=650.0, x=2.0, y=0.3, z=0.1,
+                        kx=-400.0, ky=150.0, kz=30.0)
+    st = init_k(st, disp.cold_plasma, eq0, "kx")
+
+    pos = jnp.stack([st.x, st.y, st.z])
+    r0 = make_ray_rhs(disp.cold_plasma, eq0.freeze_cells(pos))(st)
+    rj = make_ray_rhs(disp.cold_plasma, eqj.freeze_cells(pos))(st)
+    for f in r0._fields:
+        np.testing.assert_allclose(np.asarray(getattr(r0, f)),
+                                   np.asarray(getattr(rj, f)),
+                                   rtol=1e-10)
+
+    def endpoint(eq, kx):
+        sol = Solver(disp.cold_plasma, eq, method="rk2", dt=1e-4,
+                     sub_steps=5, frozen_cells=True, remat_substeps=True)
+        out = sol.run(st._replace(kx=kx), 2)
+        return jnp.sum(out.x) + jnp.sum(out.kx)
+
+    g0 = jax.grad(endpoint, argnums=1)(eq0, st.kx)
+    gj = jax.grad(endpoint, argnums=1)(eqj, st.kx)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(gj), rtol=1e-8)
+
+    def table_loss(eq, coeffs):
+        eq2 = dc.replace(eq, psi_coeffs=coeffs)
+        sol = Solver(disp.cold_plasma, eq2, method="rk2", dt=1e-4,
+                     sub_steps=5, frozen_cells=True, remat_substeps=True)
+        return jnp.sum(sol.run(st, 2).x)
+
+    t0 = jax.grad(table_loss, argnums=1)(eq0, eq0.psi_coeffs)
+    tj = jax.grad(table_loss, argnums=1)(eqj, eqj.psi_coeffs)
+    nz = np.abs(np.asarray(t0)) > 0
+    np.testing.assert_allclose(np.asarray(t0)[nz], np.asarray(tj)[nz],
+                               rtol=1e-8)
