@@ -650,7 +650,31 @@ def main():
     if "c-split" in DTYPES:
         records["c-split"] = _bench_absorption_split(100)
 
-    trace_dtypes = [d for d in ("f32", "f32c", "f64") if d in records]
+    # Production-stack headline leg (VERDICT r4 next-6): frozen rk2 +
+    # freeze_every=10 + compensated + the VMEM-resident window kernel -
+    # the CLI's TPU default, validated equal-or-better accuracy than
+    # plain f32 rk4 (tests/test_cli_e2e.py).  Runs only when the caller
+    # hasn't customized the stack via env (the ladder/sweep drivers set
+    # those knobs themselves) and on TPU (off-TPU the kernel would run
+    # in interpret mode).  The plain legs above are unchanged for
+    # round-over-round continuity.
+    if (BENCH_EQ == "efit" and jax.default_backend() == "tpu"
+            and not any(k in os.environ for k in
+                        ("BENCH_SOLVER", "BENCH_FROZEN",
+                         "BENCH_FREEZE_EVERY", "BENCH_PALLAS_WINDOW"))):
+        os.environ.update(BENCH_SOLVER="rk2", BENCH_FROZEN="1",
+                          BENCH_FREEZE_EVERY="10",
+                          BENCH_PALLAS_WINDOW="1")
+        try:
+            records["production"] = _bench_trace(jnp.float32, NUM_STEPS,
+                                                 compensated=True)
+        finally:
+            for k in ("BENCH_SOLVER", "BENCH_FROZEN",
+                      "BENCH_FREEZE_EVERY", "BENCH_PALLAS_WINDOW"):
+                os.environ.pop(k, None)
+
+    trace_dtypes = [d for d in ("production", "f32", "f32c", "f64")
+                    if d in records]
     if not trace_dtypes:
         # c-split-only sweep: no trace record to headline; report the
         # absorption metric the way BENCH_MODE=absorption does
@@ -672,23 +696,29 @@ def main():
     kind = jax.devices()[0].device_kind
     vpu_peak = _measure_vpu_peak()
     hbm = HBM_BW.get(kind)
-    mfu = head["achieved_gflops"] * 1e9 / vpu_peak
+    # roofline over the plain f32 leg: XLA cost analysis sees through
+    # jit-fused programs but not into pallas_call (production leg)
+    rf = records.get("f32", head)
+    mfu = rf["achieved_gflops"] * 1e9 / vpu_peak
     roofline = {
         "device_kind": kind,
         "vpu_peak_gflops_measured": round(vpu_peak / 1e9, 1),
         "hbm_bw_gbs_published": round(hbm / 1e9, 1) if hbm else None,
         "mfu_vs_vpu_peak": round(mfu, 4),
         "hbm_util_upper_bound": round(
-            head["achieved_gbs"] * 1e9 / hbm, 4) if hbm else None,
+            rf["achieved_gbs"] * 1e9 / hbm, 4) if hbm else None,
         "note": "elementwise+gather workload: MXU idle by construction; "
                 "mfu is achieved f32 FLOP/s over measured elementwise-FMA "
                 "peak; bytes are XLA whole-operand accounting (upper "
                 "bound for table gathers)",
     }
 
+    solver_desc = ("production[frozen rk2 K=10 comp pallas-window]"
+                   if head_dtype == "production"
+                   else os.environ.get("BENCH_SOLVER", "rk4"))
     print(json.dumps({
         "metric": f"ray-steps/s/chip "
-                  f"({os.environ.get('BENCH_SOLVER', 'rk4')}"
+                  f"({solver_desc}"
                   f"+cold_plasma+{BENCH_EQ.upper()}, "
                   f"{NUM_RAYS} rays {head_dtype}, "
                   f"{head['num_steps']}x{SUB_STEPS} steps)",

@@ -40,9 +40,24 @@ def build_parser():
                             "cold_plasma_expansion", "light_wave",
                             "acoustic_wave", "ion_cyclotron",
                             "gaussian_well", "stiff"])
-    p.add_argument("--solver", default="rk4",
+    p.add_argument("--solver", default=None,
                    choices=["rk2", "rk4", "split_simplextic",
-                            "adaptive_rk4"])
+                            "adaptive_rk4"],
+                   help="integrator (default: rk4, the reference's "
+                        "default - but on TPU with a spline equilibrium "
+                        "the validated production stack is used instead "
+                        "unless --portable or an explicit --solver is "
+                        "given; see --portable)")
+    p.add_argument("--portable", action="store_true",
+                   help="force the reference-parity defaults (plain rk4, "
+                        "no frozen cells/compensation/Pallas) even on "
+                        "TPU.  Without it, a TPU run over an EFIT "
+                        "equilibrium defaults to the production stack - "
+                        "frozen rk2, freeze_every=10, compensated, "
+                        "Pallas window kernel - which is ~22x faster and "
+                        "MORE accurate than plain f32 rk4 (endpoint "
+                        "within 7e-8 of full-f64 vs 1e-4; "
+                        "BENCH_EFIT1M_r05, NOTES_r4 item 3)")
     p.add_argument("--equilibrium", default="slab",
                    choices=["no_magnetic_field", "slab", "slab_density",
                             "slab_field", "gaussian_density", "efit",
@@ -66,7 +81,11 @@ def build_parser():
     p.add_argument("--absorption_model", default=None,
                    choices=["weak_damping", "root_find"])
     p.add_argument("--output", default="result0.nc")
-    p.add_argument("--x64", action="store_true", default=True)
+    p.add_argument("--x64", action="store_true", default=None,
+                   help="force f64 (the reference's default dtype; "
+                        "resolved automatically when omitted - f64 "
+                        "portable, compensated f32 under the TPU "
+                        "production stack)")
     p.add_argument("--f32", dest="x64", action="store_false")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--debug", action="store_true",
@@ -153,6 +172,38 @@ def main(argv=None):
     # explicit JAX_PLATFORMS env (e.g. =cpu) through the config, which wins.
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    # TPU production-stack defaults (VERDICT r4 next-6): when no explicit
+    # integrator/dtype/stack flags are given, a TPU run over an EFIT
+    # equilibrium uses the validated fastest-AND-most-accurate
+    # configuration - frozen rk2 + freeze window + compensated f32 +
+    # the VMEM-resident window kernel (endpoint within 7e-8 of full f64;
+    # BENCH_EFIT1M_r05, NOTES_r4 item 3).  --portable or any explicit
+    # flag restores reference-parity behaviour.
+    production = (args.solver is None and not args.portable
+                  and jax.default_backend() == "tpu"
+                  and args.equilibrium == "efit"
+                  and not (args.frozen_cells or args.compensated
+                           or args.pallas_window
+                           or args.freeze_every != 1))
+    if args.solver is None:
+        args.solver = "rk2" if production else "rk4"
+    if production:
+        args.frozen_cells = True
+        args.compensated = True
+        args.pallas_window = True
+        args.freeze_every = next(
+            k for k in (10, 5, 2, 1) if args.sub_steps % k == 0)
+        if args.x64 is None:
+            args.x64 = False
+        if args.verbose:
+            print("production stack: frozen rk2 "
+                  f"freeze_every={args.freeze_every} compensated "
+                  "pallas_window f32 (use --portable for plain rk4)",
+                  file=sys.stderr)
+    if args.x64 is None:
+        args.x64 = True          # the reference's default dtype
+
     if args.x64:
         jax.config.update("jax_enable_x64", True)
     if args.debug:
