@@ -770,6 +770,46 @@ def _c(e):
     return e.value if isinstance(e, Constant) else None
 
 
+def _fold_tables(op, a, b):
+    """Piecewise-table folding (the is_constant_combinable branch of the
+    reference's arithmetic reduce, arithmetic.hpp:24-61, 192-248):
+    ``scalar-constant OP table`` folds into ONE new table, and
+    ``table OP table`` with matching argument/scale/offset likewise -
+    the kernel then carries a single gather where the source had two
+    nodes.  Returns the folded Expr or None."""
+    va, vb = _c(a), _c(b)
+    with np.errstate(all="ignore"):
+        if isinstance(a, Piecewise1D):
+            if vb is not None:
+                return piecewise_1D(op(a.data, vb), a.arg,
+                                    a.scale, a.offset)
+            if (isinstance(b, Piecewise1D) and _same(a.arg, b.arg)
+                    and a.scale == b.scale and a.offset == b.offset
+                    and a.data.shape == b.data.shape):
+                return piecewise_1D(op(a.data, b.data), a.arg,
+                                    a.scale, a.offset)
+        if isinstance(b, Piecewise1D) and va is not None:
+            return piecewise_1D(op(va, b.data), b.arg, b.scale, b.offset)
+        if isinstance(a, Piecewise2D):
+            if vb is not None:
+                return piecewise_2D(op(a.data, vb), a.data.shape[1],
+                                    a.x, a.x_scale, a.x_offset,
+                                    a.y, a.y_scale, a.y_offset)
+            if (isinstance(b, Piecewise2D) and _same(a.x, b.x)
+                    and _same(a.y, b.y)
+                    and (a.x_scale, a.x_offset, a.y_scale, a.y_offset)
+                    == (b.x_scale, b.x_offset, b.y_scale, b.y_offset)
+                    and a.data.shape == b.data.shape):
+                return piecewise_2D(op(a.data, b.data), a.data.shape[1],
+                                    a.x, a.x_scale, a.x_offset,
+                                    a.y, a.y_scale, a.y_offset)
+        if isinstance(b, Piecewise2D) and va is not None:
+            return piecewise_2D(op(va, b.data), b.data.shape[1],
+                                b.x, b.x_scale, b.x_offset,
+                                b.y, b.y_scale, b.y_offset)
+    return None
+
+
 def add(a, b) -> Expr:
     """a + b with reductions (add_node::reduce, arithmetic.hpp:132-870)."""
     a, b = as_expr(a), as_expr(b)
@@ -780,6 +820,9 @@ def add(a, b) -> Expr:
         return b
     if vb is not None and b.is_(0):
         return a
+    folded = _fold_tables(np.add, a, b)
+    if folded is not None:
+        return folded
     if _same(a, b):
         return mul(Constant(2.0), a)
     # fma formation: a*b + c -> fma(a, b, c) (arithmetic.hpp:271-277)
@@ -801,6 +844,9 @@ def sub(a, b) -> Expr:
         return a
     if va is not None and a.is_(0):
         return mul(Constant(-1.0), b)
+    folded = _fold_tables(np.subtract, a, b)
+    if folded is not None:
+        return folded
     if _same(a, b):
         return Constant(0.0)
     return Sub(a, b)
@@ -825,6 +871,9 @@ def mul(a, b) -> Expr:
         va, vb = vb, va
     if va is not None and isinstance(b, Mul) and isinstance(b.a, Constant):
         return mul(Constant(va * b.a.value), b.b)
+    folded = _fold_tables(np.multiply, a, b)
+    if folded is not None:
+        return folded
     # exponent gathering: x*x -> x^2, x * x^c -> x^(c+1), x^c1 * x^c2
     if _same(a, b):
         return Pow(a, Constant(2.0))
@@ -852,6 +901,9 @@ def div(a, b) -> Expr:
         return Constant(0.0)
     if vb is not None and b.is_(1):
         return a
+    folded = _fold_tables(np.divide, a, b)
+    if folded is not None:
+        return folded
     if _same(a, b):
         return Constant(1.0)
     return Div(a, b)
@@ -932,6 +984,61 @@ def log(a) -> Expr:
     return Log(a)
 
 
+def tan(a) -> Expr:
+    """tan(x) = sin(x)/cos(x) - a composite, exactly as the reference
+    builds it (trigonometry.hpp:539: `return sin(x)/cos(x)`)."""
+    a = as_expr(a)
+    return div(Sin(a), Cos(a))
+
+
+def piecewise_1D(data, arg, scale, offset) -> Expr:
+    """piecewise_1D with reductions (piecewise_1D_node::reduce,
+    piecewise.hpp:~200-240): a CONSTANT argument collapses to the gathered
+    constant, and an all-equal table is a constant regardless of the
+    argument.  Index convention: clamp(trunc((x - offset)/scale)) - the
+    convention the reference's generated kernels use (compile_index,
+    piecewise.hpp:26-60; its host-side reduce uses `(x + offset)/scale`,
+    :880-899 - a sign inconsistency with its own kernels, reachable only
+    through constant args, which we do not replicate)."""
+    data = np.asarray(data)
+    arg = as_expr(arg)
+    va = _c(arg)
+    if va is not None:
+        i = int(np.clip(np.real(va - offset) / scale, 0,
+                        data.shape[0] - 1))
+        return Constant(data[i])
+    if data.size and np.all(data == data.flat[0]):
+        return Constant(data.flat[0])
+    return Piecewise1D(data, arg, scale, offset)
+
+
+def piecewise_2D(data, num_cols, x, x_scale, x_offset,
+                 y, y_scale, y_offset) -> Expr:
+    """piecewise_2D with reductions (piecewise_2D_node::reduce,
+    piecewise.hpp:856-940): both args constant -> the gathered constant;
+    one arg constant -> a piecewise_1D over the extracted row/column;
+    all-equal table -> constant.  Same kernel-consistent index convention
+    as :func:`piecewise_1D`."""
+    data = np.asarray(data).reshape(-1, int(num_cols))
+    x, y = as_expr(x), as_expr(y)
+    vx, vy = _c(x), _c(y)
+    nr, nc = data.shape
+    if vx is not None and vy is not None:
+        i = int(np.clip(np.real(vx - x_offset) / x_scale, 0, nr - 1))
+        j = int(np.clip(np.real(vy - y_offset) / y_scale, 0, nc - 1))
+        return Constant(data[i, j])
+    if vx is not None:          # row extraction (piecewise.hpp:901-916)
+        i = int(np.clip(np.real(vx - x_offset) / x_scale, 0, nr - 1))
+        return piecewise_1D(data[i, :], y, y_scale, y_offset)
+    if vy is not None:          # column extraction (piecewise.hpp:917-933)
+        j = int(np.clip(np.real(vy - y_offset) / y_scale, 0, nc - 1))
+        return piecewise_1D(data[:, j], x, x_scale, x_offset)
+    if data.size and np.all(data == data.flat[0]):
+        return Constant(data.flat[0])
+    return Piecewise2D(data, nc, x, x_scale, x_offset,
+                       y, y_scale, y_offset)
+
+
 #: node-type -> reducing factory, for Expr.reduce()
 _REDUCE_FACTORIES = {
     Add: add, Sub: sub, Mul: mul, Div: div, Fma: fma_, Pow: pow_,
@@ -942,8 +1049,6 @@ fma = fma_
 sin, cos, atan = Sin, Cos, Atan
 erfi = Erfi
 random = Random
-piecewise_1D = Piecewise1D
-piecewise_2D = Piecewise2D
 index_1D = Index1D
 index_2D = Index2D
 

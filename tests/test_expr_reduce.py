@@ -211,3 +211,62 @@ def test_reductions_preserve_values():
     av, bv = a.data, b.data
     want = ((av * bv + av) / (bv + 1.0) - av) + av + bv
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_tan_composite():
+    """tan = sin/cos composite (trigonometry.hpp:539)."""
+    x = g.variable(4, 0.3, "x")
+    t = g.tan(x)
+    np.testing.assert_allclose(np.asarray(t.evaluate()),
+                               np.tan(0.3) * np.ones(4), rtol=1e-12)
+    # derivative: d tan/dx = 1/cos^2 = 1 + tan^2
+    d = t.df(x)
+    np.testing.assert_allclose(np.asarray(d.evaluate()),
+                               1.0 / np.cos(0.3) ** 2 * np.ones(4),
+                               rtol=1e-12)
+
+
+def test_piecewise_constant_folding():
+    """c OP table folds into one new table; table OP table with a shared
+    argument likewise (arithmetic.hpp is_constant_combinable, :24-61,
+    192-248)."""
+    x = g.variable(3, 1.2, "x")
+    data = np.array([1.0, 2.0, 3.0, 4.0])
+    t = g.piecewise_1D(data, x, 1.0, 0.0)
+    e = g.add(g.constant(10.0), t)
+    assert isinstance(e, g.Piecewise1D)
+    np.testing.assert_allclose(e.data, data + 10.0)
+    e2 = g.mul(t, g.constant(2.0))
+    assert isinstance(e2, g.Piecewise1D)
+    np.testing.assert_allclose(e2.data, data * 2.0)
+    # same-argument table pair folds to one table
+    t2 = g.piecewise_1D(data * 3, x, 1.0, 0.0)
+    e3 = g.add(t, t2)
+    assert isinstance(e3, g.Piecewise1D)
+    np.testing.assert_allclose(e3.data, data * 4.0)
+    # different scale does NOT fold
+    t3 = g.piecewise_1D(data, x, 2.0, 0.0)
+    assert not isinstance(g.add(t, t3), g.Piecewise1D) or \
+        g.add(t, t3) is not t
+
+
+def test_piecewise_2d_row_col_extraction():
+    """A constant argument reduces piecewise_2D to a 1D row/column table
+    (piecewise.hpp:856-940); both constant -> a constant."""
+    x = g.variable(2, 0.0, "x")
+    data = np.arange(12.0).reshape(3, 4)
+    # constant x -> row
+    e = g.piecewise_2D(data, 4, g.constant(2.0), 1.0, 0.0, x, 1.0, 0.0)
+    assert isinstance(e, g.Piecewise1D)
+    np.testing.assert_allclose(e.data, data[2, :])
+    # constant y -> column
+    e = g.piecewise_2D(data, 4, x, 1.0, 0.0, g.constant(1.0), 1.0, 0.0)
+    assert isinstance(e, g.Piecewise1D)
+    np.testing.assert_allclose(e.data, data[:, 1])
+    # both constant -> scalar constant (clamped truncating index)
+    e = g.piecewise_2D(data, 4, g.constant(2.7), 1.0, 0.0,
+                       g.constant(99.0), 1.0, 0.0)
+    assert isinstance(e, g.Constant) and e.value == data[2, 3]
+    # all-equal table -> constant
+    e = g.piecewise_1D(np.full(5, 7.0), x, 1.0, 0.0)
+    assert isinstance(e, g.Constant) and e.value == 7.0
