@@ -409,15 +409,41 @@ def run_korc_bench():
 
     use_pallas = (os.environ.get("BENCH_KORC_PALLAS", "1") == "1"
                   and jax.default_backend() == "tpu")
+    sweep = {}
     if use_pallas:
         # multi-step VMEM-resident kernel (pallas/boris.py): the XLA
         # scan round-trips the state through HBM every step (16.4 ms at
         # 1e8 particles, 2.8x the bandwidth floor); the kernel advances
         # the whole chunk per round trip
         from graph_framework_tpu.pallas.boris import make_slab_push
+        if "BENCH_KORC_BLOCK_ROWS" in os.environ:
+            block_rows = int(os.environ["BENCH_KORC_BLOCK_ROWS"])
+        else:
+            # auto-tune probe (VERDICT r4 next-7): Mosaic codegen drift
+            # between serving-stack sessions collapsed the UNCHANGED r3
+            # config 21.6G -> 0.6G (NOTES_r4) - re-validate block_rows at
+            # bench start on a ~8.4M-particle probe (~1 min) instead of
+            # trusting historical numbers; the sweep rides in the
+            # artifact so drift is visible round-over-round.
+            np_probe = 64 * 128 * 1024
+            probe = jax.tree.map(lambda a: a[:np_probe], state)
+            for br in (8, 16, 32, 64):
+                p = jax.jit(make_slab_push(
+                    dt=dt, b0=b0, b1=1.0, b_shear=0.1, steps=chunk,
+                    block_rows=br))
+                args = (probe.x, probe.y, probe.z,
+                        probe.ux, probe.uy, probe.uz)
+                out = p(*args)
+                _ = float(out[0][0])          # force real execution
+                t0 = time.perf_counter()
+                out = p(*args)
+                _ = float(out[0][0])
+                sweep[br] = round(
+                    np_probe * chunk / (time.perf_counter() - t0) / 1e9, 2)
+            block_rows = max(sweep, key=sweep.get)
         push = jax.jit(make_slab_push(
             dt=dt, b0=b0, b1=1.0, b_shear=0.1, steps=chunk,
-            block_rows=int(os.environ.get("BENCH_KORC_BLOCK_ROWS", 32))))
+            block_rows=block_rows))
 
         # donate the state: without it every chunk allocates 6 fresh
         # 400 MB buffers and the allocator churn makes chunk walltime
@@ -464,6 +490,9 @@ def run_korc_bench():
         "detail": {
             "num_particles": n, "num_steps": steps, "chunk": chunk,
             "pallas_multistep_kernel": use_pallas,
+            **({"block_rows_autotune_gsteps": sweep,
+                "block_rows_selected": max(sweep, key=sweep.get)}
+               if sweep else {}),
             "t_compile_s": round(t_compile, 2),
             "t_steps_s": round(elapsed, 2),
             "gamma0": float(state.gamma[0]),
@@ -502,8 +531,11 @@ def run_pic_bench():
 
     methods = os.environ.get("BENCH_PIC_METHODS", "dense,pallas").split(",")
     records = {}
+    dep_kw = dict(block=int(os.environ.get("BENCH_PIC_BLOCK", 2048)),
+                  tile=int(os.environ.get("BENCH_PIC_TILE", 256)))
     for m in methods:
-        dep = pic.make_deposit(n, g, scale, offset, jnp.float32, method=m)
+        dep = pic.make_deposit(n, g, scale, offset, jnp.float32, method=m,
+                               **(dep_kw if m == "pallas" else {}))
 
         @functools.partial(jax.jit, donate_argnums=0)
         def run_chunk(s, _dep=dep):

@@ -114,7 +114,7 @@ def make_push_step(grid_scale, grid_offset, dt=1.0e-5, q=1.0, m=1.0):
 
 
 def make_deposit(num_particles, num_grid, scale, offset, dtype,
-                 method="dense", interpret=None):
+                 method="dense", interpret=None, block=2048, tile=256):
     """Build the deposit callable ``dep(x) -> (n, epara)``.
 
     ``method``: "dense" (the XLA blocked outer-difference scan above) or
@@ -135,7 +135,8 @@ def make_deposit(num_particles, num_grid, scale, offset, dtype,
     from graph_framework_tpu.pallas.deposit import deposit_pallas
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    block, tile = 2048, 256
+    # block/tile: pallas pipeline shape (particle block streamed against a
+    # VMEM-resident grid tile); overridable for the bench auto-tune probe
     npad = -(-num_particles // block) * block
     gpad = -(-num_grid // tile) * tile
     # padded grid points continue the spacing (values are sliced off);
