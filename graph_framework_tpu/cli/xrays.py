@@ -306,6 +306,8 @@ def main(argv=None):
                       f"z={float(s.z[sample]):.6g}")
 
         seg = max(1, min(args.stream_segment, num_steps))
+        while num_steps % seg:       # avoid a second (tail-length)
+            seg -= 1                 # segment compile during the trace
         res_raw = residual_fn(dfun, eq)
 
         def extras_fn(s):
@@ -316,8 +318,9 @@ def main(argv=None):
         # both paths warm the SAME cached executable the trace drives
         t0 = time.perf_counter()
         if seg > 1:
-            warm = sol.make_segment_fn(seg, extras_fn)(
-                sol.init_carry(state))
+            warm = (sol.make_segment_fn(seg, extras_fn)(
+                        sol.init_carry(state)),
+                    sol.extras_jit(extras_fn)(state))
         else:
             warm = sol.carry_step_fn()(sol.init_carry(state))
         jax.block_until_ready(warm)
