@@ -277,6 +277,11 @@ def _bench_trace(dtype, num_steps, compensated=False):
         if block_each:
             jax.block_until_ready(carry)
     jax.block_until_ready(carry)
+    # ALSO read a data value inside the timed region: block_until_ready
+    # alone has measured falsely-ready for chained Pallas dispatches on
+    # this backend (NOTES_r3/r4; a 9-chunk Boris push "timed" 0 s) -
+    # only a scalar readback is unfakeable.
+    _ = float(jax.tree.leaves(carry)[0].reshape(-1)[0])
     elapsed = time.perf_counter() - t0
     state = sol.carry_state(carry)
     if block:
@@ -661,10 +666,30 @@ def main():
         return
 
     # -- full dtype sweep (fwd) --------------------------------------------
+    records = {}
+
+    # Production-stack leg FIRST, before x64 is enabled for the f64 leg:
+    # Mosaic cannot legalize pallas_call under jax_enable_x64 on this
+    # backend (even a trivial kernel fails with "func.return (i32, i64)";
+    # pallas/efit_step.py guards with a clear error), and the kernel is
+    # f32-only by design anyway.
+    if (BENCH_EQ == "efit" and jax.default_backend() == "tpu"
+            and not any(k in os.environ for k in
+                        ("BENCH_SOLVER", "BENCH_FROZEN",
+                         "BENCH_FREEZE_EVERY", "BENCH_PALLAS_WINDOW"))):
+        os.environ.update(BENCH_SOLVER="rk2", BENCH_FROZEN="1",
+                          BENCH_FREEZE_EVERY="10",
+                          BENCH_PALLAS_WINDOW="1")
+        try:
+            records["production"] = _bench_trace(jnp.float32, NUM_STEPS,
+                                                 compensated=True)
+        finally:
+            for k in ("BENCH_SOLVER", "BENCH_FROZEN",
+                      "BENCH_FREEZE_EVERY", "BENCH_PALLAS_WINDOW"):
+                os.environ.pop(k, None)
+
     if any(d in DTYPES for d in ("f64",)):
         jax.config.update("jax_enable_x64", True)
-
-    records = {}
     if "f32" in DTYPES:
         records["f32"] = _bench_trace(jnp.float32, NUM_STEPS)
     if "f32c" in DTYPES:
@@ -682,29 +707,10 @@ def main():
     if "c-split" in DTYPES:
         records["c-split"] = _bench_absorption_split(100)
 
-    # Production-stack headline leg (VERDICT r4 next-6): frozen rk2 +
-    # freeze_every=10 + compensated + the VMEM-resident window kernel -
-    # the CLI's TPU default, validated equal-or-better accuracy than
-    # plain f32 rk4 (tests/test_cli_e2e.py).  Runs only when the caller
-    # hasn't customized the stack via env (the ladder/sweep drivers set
-    # those knobs themselves) and on TPU (off-TPU the kernel would run
-    # in interpret mode).  The plain legs above are unchanged for
-    # round-over-round continuity.
-    if (BENCH_EQ == "efit" and jax.default_backend() == "tpu"
-            and not any(k in os.environ for k in
-                        ("BENCH_SOLVER", "BENCH_FROZEN",
-                         "BENCH_FREEZE_EVERY", "BENCH_PALLAS_WINDOW"))):
-        os.environ.update(BENCH_SOLVER="rk2", BENCH_FROZEN="1",
-                          BENCH_FREEZE_EVERY="10",
-                          BENCH_PALLAS_WINDOW="1")
-        try:
-            records["production"] = _bench_trace(jnp.float32, NUM_STEPS,
-                                                 compensated=True)
-        finally:
-            for k in ("BENCH_SOLVER", "BENCH_FROZEN",
-                      "BENCH_FREEZE_EVERY", "BENCH_PALLAS_WINDOW"):
-                os.environ.pop(k, None)
-
+    # (the "production" record - frozen rk2 + freeze_every=10 +
+    # compensated + window kernel, the CLI's TPU default - was measured
+    # FIRST above, before x64 flipped; it headlines when present, with
+    # the plain legs unchanged for round-over-round continuity.)
     trace_dtypes = [d for d in ("production", "f32", "f32c", "f64")
                     if d in records]
     if not trace_dtypes:

@@ -160,21 +160,27 @@ def _window_kernel(*refs, dispersion, method, dt, steps, base, compensated):
         iu=iu_ref[...], jv=jv_ref[...], pidx=pidx_ref[...], base=base)
     rhs = make_ray_rhs(dispersion, view, holomorphic=False)
 
+    # The substep loop is UNROLLED: steps = freeze_every <= sub_steps is
+    # small by construction (10 in the production stack), and a
+    # fori_loop here carries an i64 counter under jax_enable_x64 (the
+    # bench's f64 leg flips it globally) that Mosaic cannot lower
+    # ("failed to legalize 'func.return'" on (i32, i64) - explicit i32
+    # bounds did not stick either).
     if compensated:
         cstep = compensated_stepper(
             lambda s: INCREMENTS[method](rhs, s, dt))
         carry = CompCarry(
             RayState(*[r[...] for r in state_refs[:8]]),
             RayState(*[r[...] for r in state_refs[8:]]))
-        carry = jax.lax.fori_loop(
-            0, steps, lambda _, c: cstep(c), carry)
+        for _ in range(steps):
+            carry = cstep(carry)
         for r, v in zip(out_refs, tuple(carry.hi) + tuple(carry.lo)):
             r[...] = v
     else:
         stepper = STEPPERS[method]
         st = RayState(*[r[...] for r in state_refs])
-        st = jax.lax.fori_loop(
-            0, steps, lambda _, s: stepper(rhs, s, dt), st)
+        for _ in range(steps):
+            st = stepper(rhs, st, dt)
         for r, v in zip(out_refs, st):
             r[...] = v
 
@@ -197,6 +203,16 @@ def make_frozen_window_step(eq, dispersion: Callable, *, method="rk2",
     if sub_steps % freeze_every:
         raise ValueError(f"freeze_every={freeze_every} must divide "
                          f"sub_steps={sub_steps}")
+    if jax.config.jax_enable_x64 and not interpret:
+        # measured on this backend: Mosaic fails to legalize even a
+        # trivial pallas_call under jax_enable_x64 ("failed to legalize
+        # 'func.return'" on (i32, i64) - the x64-traced index types);
+        # the kernel itself is f32-only anyway.
+        raise ValueError(
+            "pallas_window cannot compile with jax_enable_x64 on this "
+            "backend (Mosaic i64 legalization); run the window kernel "
+            "in an x64-disabled context (the production default) or "
+            "use the XLA frozen path for f64")
     windows = sub_steps // freeze_every
 
     kernel = functools.partial(
