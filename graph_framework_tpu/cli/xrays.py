@@ -202,7 +202,10 @@ def main(argv=None):
                   "pallas_window f32 (use --portable for plain rk4)",
                   file=sys.stderr)
     if args.x64 is None:
-        args.x64 = True          # the reference's default dtype
+        # the reference's default dtype is double - except when the
+        # window kernel was requested explicitly (f32-only on this
+        # backend: Mosaic cannot compile pallas under x64)
+        args.x64 = not args.pallas_window
 
     if args.x64:
         jax.config.update("jax_enable_x64", True)
