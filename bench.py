@@ -801,19 +801,34 @@ def run_grad():
     from graph_framework_tpu.solver import Solver, init_k
 
     eq, state = _make(jnp.float32)
+    frozen = os.environ.get("BENCH_FROZEN", "0") == "1"
+    # BENCH_PALLAS_WINDOW=1 (with BENCH_FROZEN): run the fwd+bwd trace
+    # through the window kernel's custom_vjp - forward = the VMEM-resident
+    # multi-substep kernel, backward = its in-kernel checkpointed
+    # transpose (pallas/efit_step._window_bwd_kernel).  remat_substeps is
+    # redundant there (the window IS the substep checkpoint).
+    pallas_win = (os.environ.get("BENCH_PALLAS_WINDOW", "0") == "1"
+                  and frozen)
+    pallas_br = int(os.environ.get("BENCH_PALLAS_BLOCK_ROWS", 8))
     sol = Solver(disp.cold_plasma, eq,
                  method=os.environ.get("BENCH_SOLVER", "rk4"),
                  dt=1.0 / (NUM_STEPS * SUB_STEPS), sub_steps=SUB_STEPS,
-                 remat_substeps=True,
-                 frozen_cells=(os.environ.get("BENCH_FROZEN", "0") == "1"),
+                 remat_substeps=not pallas_win,
+                 frozen_cells=frozen,
                  freeze_every=int(os.environ.get("BENCH_FREEZE_EVERY", 1)),
-                 remat_policy=os.environ.get("BENCH_GRAD_POLICY") or None)
+                 remat_policy=os.environ.get("BENCH_GRAD_POLICY") or None,
+                 pallas_window=pallas_win, pallas_block_rows=pallas_br)
 
     t0 = time.perf_counter()
     state = init_k(state, disp.cold_plasma, eq, "kx",
                    tolerance=1.0e-10, max_iterations=100)
     jax.block_until_ready(state)
     t_init = time.perf_counter() - t0
+    num_rays = NUM_RAYS
+    if pallas_win:
+        from graph_framework_tpu.pallas.efit_step import pad_rays
+        state, _ = pad_rays(state, block_rows=pallas_br)
+        num_rays = state.x.shape[0]   # padded rays all do real work
 
     seg_steps = min(NUM_STEPS,
                     int(os.environ.get("BENCH_GRAD_SEGMENT", 500)))
@@ -876,20 +891,24 @@ def run_grad():
     elapsed = (time.perf_counter() - t0) / reps
     v, g = outs[-1]
 
-    ray_steps_per_s = NUM_RAYS * NUM_STEPS * SUB_STEPS / elapsed
+    ray_steps_per_s = num_rays * NUM_STEPS * SUB_STEPS / elapsed
     print(json.dumps({
         "metric": f"fwd+bwd ray-steps/s/chip (grad of endpoint w.r.t. "
                   f"launch state, "
                   f"{os.environ.get('BENCH_SOLVER', 'rk4')}"
                   f"+cold_plasma+{BENCH_EQ.upper()}, "
-                  f"{NUM_RAYS} rays f32, {NUM_STEPS}x{SUB_STEPS} steps)",
+                  f"{num_rays} rays f32, {NUM_STEPS}x{SUB_STEPS} steps)",
         "value": round(ray_steps_per_s, 1),
         "unit": "ray-steps/s",
         "vs_baseline": round(ray_steps_per_s / BASELINE_RAY_STEPS_PER_S, 4),
         "detail": {
             "segments": n_seg, "segment_steps": seg_steps,
-            "remat": "substep checkpoint, stored step-boundary "
-                     "trajectories, reverse-scan segment transpose",
+            "remat": ("pallas window custom_vjp (in-kernel checkpointed "
+                      "transpose), stored step-boundary trajectories, "
+                      "reverse-scan segment transpose" if pallas_win else
+                      "substep checkpoint, stored step-boundary "
+                      "trajectories, reverse-scan segment transpose"),
+            "pallas_window": pallas_win,
             "t_init_s": round(t_init, 2),
             "t_compile_s": round(t_compile, 2),
             "t_fwd_bwd_s": round(elapsed, 2),

@@ -47,6 +47,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from graph_framework_tpu.models.equilibrium import PlasmaQuantities
 from graph_framework_tpu.models.rays import RayState, make_ray_rhs
@@ -185,6 +186,123 @@ def _window_kernel(*refs, dispersion, method, dt, steps, base, compensated):
             r[...] = v
 
 
+def _depad_call(fn, args):
+    """Evaluate ``fn(args)`` with every negative-padding ``lax.pad``
+    rewritten to the equivalent ``lax.slice``.
+
+    jax's transpose rule for ``pad`` emits pads with NEGATED
+    padding_config (a slice in pad clothing); Mosaic's pad lowering
+    requires positive sizes and fails on them ("vector types must have
+    positive constant sizes").  The double transpose in the backward
+    window kernel (transpose of the positive pads that are themselves
+    transposes of the RHS's component slices) hits exactly this.  The
+    forward kernel's positive pads and plain slices lower fine, so the
+    rewrite restores the representation Mosaic accepts without changing
+    a single value.
+
+    The traced computation is first-order (no call/scan primitives -
+    asserted), so a flat jaxpr walk suffices.
+    """
+    closed = jax.make_jaxpr(fn)(
+        *[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args])
+    env = {}
+
+    def read(v):
+        return v.val if hasattr(v, "val") else env[v]
+
+    jaxpr = closed.jaxpr
+    for v, c in zip(jaxpr.constvars, closed.consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+    for eqn in jaxpr.eqns:
+        assert not any(hasattr(p, "jaxpr") for p in eqn.params.values()), (
+            "nested jaxpr inside the window-backward trace; extend "
+            "_depad_call to recurse")
+        invals = [read(v) for v in eqn.invars]
+        prim = eqn.primitive
+        if prim.name == "pad":
+            cfg = eqn.params["padding_config"]
+            if (all(i == 0 for _, _, i in cfg)
+                    and any(lo < 0 or hi < 0 for lo, hi, _ in cfg)):
+                op, pv = invals
+                out = jax.lax.slice(
+                    op,
+                    [max(0, -lo) for lo, _, _ in cfg],
+                    [d + min(0, hi)
+                     for d, (_, hi, _) in zip(op.shape, cfg)])
+                pos = [(max(0, lo), max(0, hi), 0) for lo, hi, _ in cfg]
+                if any(lo or hi for lo, hi, _ in pos):
+                    out = jax.lax.pad(out, pv, pos)
+                env[eqn.outvars[0]] = out
+                continue
+        outs = prim.bind(*invals, **eqn.params)
+        if prim.multiple_results:
+            for v, o in zip(eqn.outvars, outs):
+                env[v] = o
+        else:
+            env[eqn.outvars[0]] = outs
+    return tuple(read(v) for v in jaxpr.outvars)
+
+
+def _window_bwd_kernel(*refs, dispersion, method, dt, steps, base):
+    """Reverse-mode companion of ``_window_kernel``: pull the window-output
+    cotangent back to the window-input cotangent entirely in VMEM.
+
+    In-kernel checkpointed transpose: a forward sweep re-advances the block
+    storing each substep's INPUT state (10 x 8 tiles live for the
+    production window - the coefficients are already resident), then the
+    reverse sweep applies ``jax.vjp`` of ONE substep at a time, so the live
+    residual set is one substep's linearization rather than the whole
+    window's.  This is the XLA remat_substeps structure (solver.py) moved
+    inside the kernel: the backward never round-trips HBM between substeps.
+
+    Ref order: state-in (8), psi (16, rows, lanes), prof (16, rows, lanes),
+    iu, jv, pidx, cotangent (8), then the 8 d_state outputs.
+
+    The frozen blocks/indices are treated as constants (zero cotangent):
+    their only dependence on the window-base state is through the integer
+    cell indices, whose derivative is zero a.e. - exactly what the XLA
+    frozen path's transpose produces through the gather (floor has zero
+    gradient), so the two backward paths agree (tests/test_gradients.py).
+    """
+    state_refs = refs[:8]
+    psi_ref, prof_ref = refs[8], refs[9]
+    iu_ref, jv_ref, pidx_ref = refs[10], refs[11], refs[12]
+    ct_refs = refs[13:21]
+    out_refs = refs[21:]
+
+    def pure_bwd(*args):
+        st0 = args[:8]
+        psi, prof = args[8:24], args[24:40]
+        iu, jv, pidx = args[40:43]
+        ct0 = args[43:51]
+        view = _FrozenView(psi=list(psi), prof=list(prof),
+                           iu=iu, jv=jv, pidx=pidx, base=base)
+        rhs = make_ray_rhs(dispersion, view, holomorphic=False)
+        stepper = STEPPERS[method]
+
+        def substep(leaves):
+            return tuple(stepper(rhs, RayState(*leaves), dt))
+
+        sts = [st0]
+        for _ in range(steps - 1):
+            sts.append(substep(sts[-1]))
+        ct = ct0
+        for s_in in reversed(sts):
+            _, vjp = jax.vjp(substep, s_in)
+            (ct,) = vjp(ct)
+        return ct
+
+    args = (tuple(r[...] for r in state_refs)
+            + tuple(psi_ref[i] for i in range(16))
+            + tuple(prof_ref[i] for i in range(16))
+            + (iu_ref[...], jv_ref[...], pidx_ref[...])
+            + tuple(r[...] for r in ct_refs))
+    for r, v in zip(out_refs, _depad_call(pure_bwd, args)):
+        r[...] = v
+
+
 def make_frozen_window_step(eq, dispersion: Callable, *, method="rk2",
                             dt, sub_steps, freeze_every, block_rows=8,
                             compensated=False, interpret=False):
@@ -218,43 +336,103 @@ def make_frozen_window_step(eq, dispersion: Callable, *, method="rk2",
     kernel = functools.partial(
         _window_kernel, dispersion=dispersion, method=method, dt=dt,
         steps=freeze_every, base=eq, compensated=compensated)
+    bwd_kernel = functools.partial(
+        _window_bwd_kernel, dispersion=dispersion, method=method, dt=dt,
+        steps=freeze_every, base=eq)
 
-    def window(carry):
-        hi = carry.hi if compensated else carry
-        n = hi.x.shape[0]
+    def _rows_of(n):
         if n % (block_rows * LANES):
             raise ValueError(
                 f"num_rays={n} must be a multiple of "
                 f"block_rows*{LANES}={block_rows * LANES} "
                 "(pad the ensemble; see pad_rays)")
-        rows = n // LANES
+        return n // LANES
 
+    def _tiles(hi, n, rows):
+        """One window-base freeze gather, reshaped to kernel tiles:
+        coefficient-leading (16, rows, lanes) blocks + index planes."""
         feq = eq.freeze_cells(jnp.stack([hi.x, hi.y, hi.z]))
-        # coefficient-leading tiles: (N, 16) -> (16, rows, lanes)
         psi = feq.psi_block.T.reshape(16, rows, LANES)
         prof = feq.prof_block.reshape(n, 16).T.reshape(16, rows, LANES)
         iu = feq.iu.reshape(rows, LANES)
         jv = feq.jv.reshape(rows, LANES)
         pidx = feq.pidx.reshape(rows, LANES)
+        return psi, prof, iu, jv, pidx
 
-        leaves = list(hi) + (list(carry.lo) if compensated else [])
+    spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0))
+    cspec = pl.BlockSpec((16, block_rows, LANES), lambda i: (0, i, 0))
+
+    def _fwd_impl(leaves):
+        """Gather + forward window kernel over flat (n,) leaves."""
+        n = leaves[0].shape[0]
+        rows = _rows_of(n)
+        hi = RayState(*leaves[:8])
+        tiles = _tiles(hi, n, rows)
         shaped = [a.reshape(rows, LANES) for a in leaves]
         ns = len(shaped)
-
-        spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0))
-        cspec = pl.BlockSpec((16, block_rows, LANES), lambda i: (0, i, 0))
         outs = pl.pallas_call(
             kernel,
             grid=(rows // block_rows,),
             in_specs=[spec] * ns + [cspec, cspec] + [spec] * 3,
             out_specs=[spec] * ns,
-            out_shape=[jax.ShapeDtypeStruct((rows, LANES), hi.x.dtype)] * ns,
+            out_shape=[jax.ShapeDtypeStruct((rows, LANES),
+                                            hi.x.dtype)] * ns,
             interpret=interpret,
-        )(*shaped, psi, prof, iu, jv, pidx)
-        flat = [o.reshape(n) for o in outs]
+        )(*shaped, *tiles)
+        return tuple(o.reshape(n) for o in outs)
+
+    # -- reverse mode: custom_vjp whose backward is itself a VMEM-resident
+    # kernel (in-kernel checkpointed recompute + per-substep transpose).
+    # Residuals are the window INPUTS only - the backward re-freezes from
+    # them, so under the fwd+bwd trace the forward pallas_call in the
+    # transpose sweep has no consumers and XLA dead-code-eliminates it.
+    @jax.custom_vjp
+    def window8(*leaves):
+        return _fwd_impl(leaves)
+
+    def window8_fwd(*leaves):
+        return _fwd_impl(leaves), leaves
+
+    def window8_bwd(leaves, cts):
+        n = leaves[0].shape[0]
+        rows = _rows_of(n)
+        hi = RayState(*leaves)
+        tiles = _tiles(hi, n, rows)
+        shaped = [a.reshape(rows, LANES) for a in leaves]
+        cshaped = [jnp.asarray(c, hi.x.dtype).reshape(rows, LANES)
+                   for c in cts]
+        # The rk4 backward's live set (K stored substep inputs + one
+        # substep's vjp residuals) exceeds Mosaic's default 16 MiB scoped
+        # VMEM budget at block_rows=8 (measured 28.4 MiB); the v5e has
+        # far more physical VMEM, so raise the cap for the backward call.
+        params = (None if interpret else
+                  pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20))
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=(rows // block_rows,),
+            in_specs=[spec] * 8 + [cspec, cspec] + [spec] * 3 + [spec] * 8,
+            out_specs=[spec] * 8,
+            out_shape=[jax.ShapeDtypeStruct((rows, LANES),
+                                            hi.x.dtype)] * 8,
+            interpret=interpret,
+            compiler_params=params,
+        )(*shaped, *tiles, *cshaped)
+        return tuple(o.reshape(n) for o in outs)
+
+    window8.defvjp(window8_fwd, window8_bwd)
+
+    def window(carry):
         if compensated:
+            # compensated stays forward-only: the TwoSum error extraction
+            # is numerically meaningless to differentiate (its exact
+            # transpose reconstructs the plain-rk gradient at 2x the cost)
+            hi = carry.hi
+            n = hi.x.shape[0]
+            rows = _rows_of(n)
+            leaves = list(hi) + list(carry.lo)
+            flat = _fwd_impl(leaves)
             return CompCarry(RayState(*flat[:8]), RayState(*flat[8:]))
-        return RayState(*flat)
+        return RayState(*window8(*carry))
 
     def step(carry):
         if windows == 1:

@@ -155,9 +155,16 @@ class Solver:
     # compensated rk2 939.7M at 1M - numerics identical to the XLA
     # frozen path (f64 interpret parity ~1e-18, tests).  Requires
     # frozen_cells, rk2/rk4, num_rays a multiple of
-    # pallas_block_rows * 128 (pallas.efit_step.pad_rays), forward only
-    # (no autodiff through the kernel).  Off-TPU the kernel runs in
-    # interpret mode (tests/CPU parity).
+    # pallas_block_rows * 128 (pallas.efit_step.pad_rays).  Off-TPU the
+    # kernel runs in interpret mode (tests/CPU parity).
+    #
+    # REVERSE-MODE: the plain (non-compensated) window step carries a
+    # custom_vjp whose backward is itself a VMEM-resident kernel
+    # (in-kernel checkpointed recompute + per-substep transpose,
+    # pallas/efit_step._window_bwd_kernel), so jax.grad/vjp through the
+    # trace works and never round-trips HBM between substeps; no
+    # remat_substeps needed (the window IS the checkpoint).  Compensated
+    # remains forward-only.
     pallas_window: bool = False
     pallas_block_rows: int = 32
 
@@ -189,8 +196,10 @@ class Solver:
                 raise ValueError("pallas_window supports rk2/rk4 only")
             if self.remat_substeps:
                 raise ValueError(
-                    "pallas_window is forward-only (no autodiff through "
-                    "the kernel); use the XLA frozen path for gradients")
+                    "remat_substeps is redundant with pallas_window: the "
+                    "window kernel's custom_vjp already checkpoints at "
+                    "substep granularity in VMEM; set "
+                    "remat_substeps=False")
 
     # -- single recorded step (sub_steps integrator steps, jitted) --------
     def is_adaptive(self):

@@ -100,9 +100,43 @@ def test_solver_pallas_window_validation(eq):
     with pytest.raises(ValueError, match="rk2/rk4"):
         Solver(cold_plasma, eq, method="split_simplextic",
                frozen_cells=True, pallas_window=True)
-    with pytest.raises(ValueError, match="forward-only"):
+    with pytest.raises(ValueError, match="redundant"):
         Solver(cold_plasma, eq, method="rk2", frozen_cells=True,
                pallas_window=True, remat_substeps=True)
+
+
+@pytest.mark.parametrize("method,k", [("rk2", 5), ("rk4", 5)])
+def test_window_kernel_gradient_matches_xla_frozen(eq, state, method, k):
+    """Reverse mode through the window kernel (custom_vjp + in-kernel
+    transpose, pallas/efit_step._window_bwd_kernel) must match the XLA
+    frozen path's autodiff exactly: both treat the frozen blocks/indices
+    as piecewise-constant in the window-base state (floor has zero
+    gradient), so the backward algebras are transposes of the same
+    function."""
+    sub = jax.tree.map(lambda a: a[:256], state)
+
+    def make_loss(step):
+        def loss(s):
+            def body(c, _):
+                return step(c), None
+            c, _ = jax.lax.scan(body, s, None, length=2)
+            return (jnp.sum(c.x) + jnp.sum(c.z)
+                    + 1e-3 * jnp.sum(c.kx)) / c.x.shape[0]
+        return loss
+
+    sol_ref = Solver(cold_plasma, eq, method=method, dt=1e-4, sub_steps=10,
+                     frozen_cells=True, freeze_every=k)
+    g_ref = jax.jit(jax.grad(make_loss(sol_ref.raw_step_fn())))(sub)
+
+    step = make_frozen_window_step(
+        eq, cold_plasma, method=method, dt=1e-4, sub_steps=10,
+        freeze_every=k, block_rows=2, interpret=True)
+    g_ker = jax.jit(jax.grad(make_loss(step)))(sub)
+
+    for f in g_ref._fields:
+        a, b = getattr(g_ref, f), getattr(g_ker, f)
+        scale = float(jnp.max(jnp.abs(a))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-10, f
 
 
 def test_pad_rays(eq, state):
