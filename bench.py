@@ -955,16 +955,31 @@ def run_config5():
     jax.block_until_ready(state)
     t_init = time.perf_counter() - t0
 
-    def absorbed_power(psi_coeffs, kz0, batch):
+    # BENCH_PALLAS_WINDOW=1: run the trace fwd+bwd through the window
+    # kernel's custom_vjp with TABLE gradients
+    # (Solver(pallas_table_grads=True): the backward kernel emits
+    # per-ray block cotangents, scatter-added into the psi tables by the
+    # freeze gather's transpose).  Batches are padded to kernel-tile
+    # multiples with a mask zeroing the padded rays' power (their
+    # cotangents vanish, so the padded grads are exact).
+    pallas_win = os.environ.get("BENCH_PALLAS_WINDOW", "0") == "1"
+    pallas_br = int(os.environ.get("BENCH_PALLAS_BLOCK_ROWS", 8))
+    frozen = os.environ.get("BENCH_FROZEN", "0") == "1" or pallas_win
+    freeze_k = int(os.environ.get("BENCH_FREEZE_EVERY",
+                                  10 if pallas_win else 1))
+
+    def absorbed_power(psi_coeffs, kz0, batch, mask):
         eq = dataclasses.replace(eq0, psi_coeffs=psi_coeffs)
         # BENCH_FROZEN=1: frozen-cell stepping; table gradients flow
         # through the frozen block gathers exactly (verified to 7e-16
         # relative vs the plain path, tests/test_gradients.py)
         sol = Solver(disp.cold_plasma, eq, method="rk4",
                      dt=1.0 / (steps * sub), sub_steps=sub,
-                     remat_substeps=True,
-                     frozen_cells=(os.environ.get("BENCH_FROZEN", "0")
-                                   == "1"))
+                     remat_substeps=not pallas_win,
+                     frozen_cells=frozen, freeze_every=freeze_k,
+                     pallas_window=pallas_win,
+                     pallas_block_rows=pallas_br,
+                     pallas_table_grads=pallas_win)
         kamp_fn = make_weak_damping_split(eq)
         step = jax.checkpoint(sol.raw_step_fn(), prevent_cse=False)
         s0 = batch._replace(kz=jnp.full_like(batch.kz, kz0))
@@ -982,7 +997,7 @@ def run_config5():
         (s_fin, ksum), _ = jax.lax.scan(
             body, (s0, jnp.zeros_like(s0.x)), None, length=steps)
         power = jnp.exp(-2.0 * jnp.abs(ksum))
-        return jnp.sum(1.0 - power)
+        return jnp.sum((1.0 - power) * mask)
 
     # argnums (0, 1) only: differentiating w.r.t. the ray batch would
     # materialize eight per-ray cotangent arrays per batch for nothing
@@ -998,13 +1013,21 @@ def run_config5():
     bsz = rays // nb
     batches = [jax.tree.map(lambda a: a[i * bsz:(i + 1) * bsz], state)
                for i in range(nb)]
+    if pallas_win:
+        from graph_framework_tpu.pallas.efit_step import pad_rays
+        padded = [pad_rays(b, block_rows=pallas_br) for b in batches]
+        batches = [p for p, _ in padded]
+        masks = [(jnp.arange(b.x.shape[0]) < n).astype(jnp.float32)
+                 for b, n in zip(batches, (n for _, n in padded))]
+    else:
+        masks = [jnp.ones_like(b.x) for b in batches]
 
     def vg_all(kz0):
         v = 0.0
         g_psi = jnp.zeros_like(eq0.psi_coeffs)
         g_kz = 0.0
-        for b in batches:
-            vb, (gp, gk) = vg(eq0.psi_coeffs, kz0, b)
+        for b, m in zip(batches, masks):
+            vb, (gp, gk) = vg(eq0.psi_coeffs, kz0, b, m)
             v, g_psi, g_kz = v + vb, g_psi + gp, g_kz + gk
         return v, (g_psi, g_kz)
 

@@ -303,9 +303,64 @@ def _window_bwd_kernel(*refs, dispersion, method, dt, steps, base):
         r[...] = v
 
 
+def _window_bwd_tab_kernel(*refs, dispersion, method, dt, steps, base):
+    """``_window_bwd_kernel`` with TABLE cotangents: additionally pulls the
+    output cotangent back onto the frozen coefficient blocks (32 extra
+    output tiles), accumulated across the window's substeps in VMEM.  The
+    caller scatters them into the global spline tables via the transpose
+    of the freeze gather (config5's grads of absorbed power w.r.t. the
+    psi tables; the bicubic/profile values are linear in their blocks, so
+    the block cotangent is exact - same contract as the XLA frozen path,
+    tests/test_gradients.py)."""
+    state_refs = refs[:8]
+    psi_ref, prof_ref = refs[8], refs[9]
+    iu_ref, jv_ref, pidx_ref = refs[10], refs[11], refs[12]
+    ct_refs = refs[13:21]
+    out_refs = refs[21:29]
+    dpsi_ref, dprof_ref = refs[29], refs[30]
+
+    def pure_bwd(*args):
+        st0 = args[:8]
+        psi, prof = args[8:24], args[24:40]
+        iu, jv, pidx = args[40:43]
+        ct0 = args[43:51]
+
+        def substep(leaves, psi_l, prof_l):
+            view = _FrozenView(psi=list(psi_l), prof=list(prof_l),
+                               iu=iu, jv=jv, pidx=pidx, base=base)
+            rhs = make_ray_rhs(dispersion, view, holomorphic=False)
+            return tuple(STEPPERS[method](rhs, RayState(*leaves), dt))
+
+        sts = [st0]
+        for _ in range(steps - 1):
+            sts.append(substep(sts[-1], psi, prof))
+        ct, dpsi, dprof = ct0, None, None
+        for s_in in reversed(sts):
+            _, vjp = jax.vjp(substep, s_in, psi, prof)
+            ct, dp, dq = vjp(ct)
+            dpsi = dp if dpsi is None else tuple(
+                a + b for a, b in zip(dpsi, dp))
+            dprof = dq if dprof is None else tuple(
+                a + b for a, b in zip(dprof, dq))
+        return ct + dpsi + dprof
+
+    args = (tuple(r[...] for r in state_refs)
+            + tuple(psi_ref[i] for i in range(16))
+            + tuple(prof_ref[i] for i in range(16))
+            + (iu_ref[...], jv_ref[...], pidx_ref[...])
+            + tuple(r[...] for r in ct_refs))
+    outs = _depad_call(pure_bwd, args)
+    for r, v in zip(out_refs, outs[:8]):
+        r[...] = v
+    for i in range(16):
+        dpsi_ref[i] = outs[8 + i]
+        dprof_ref[i] = outs[24 + i]
+
+
 def make_frozen_window_step(eq, dispersion: Callable, *, method="rk2",
                             dt, sub_steps, freeze_every, block_rows=8,
-                            compensated=False, interpret=False):
+                            compensated=False, interpret=False,
+                            table_grads=False):
     """Build the recorded-step function ``carry -> carry`` (sub_steps
     integrator substeps as ``sub_steps // freeze_every`` windows, each one
     freeze gather + one multi-substep kernel launch).
@@ -318,6 +373,9 @@ def make_frozen_window_step(eq, dispersion: Callable, *, method="rk2",
     """
     if method not in ("rk2", "rk4"):
         raise ValueError("frozen window kernel supports rk2/rk4 only")
+    if table_grads and compensated:
+        raise ValueError("table_grads needs the differentiable "
+                         "(non-compensated) window step")
     if sub_steps % freeze_every:
         raise ValueError(f"freeze_every={freeze_every} must divide "
                          f"sub_steps={sub_steps}")
@@ -348,10 +406,18 @@ def make_frozen_window_step(eq, dispersion: Callable, *, method="rk2",
                 "(pad the ensemble; see pad_rays)")
         return n // LANES
 
-    def _tiles(hi, n, rows):
+    def _tiles(hi, n, rows, psi_table=None, prof_table=None):
         """One window-base freeze gather, reshaped to kernel tiles:
-        coefficient-leading (16, rows, lanes) blocks + index planes."""
-        feq = eq.freeze_cells(jnp.stack([hi.x, hi.y, hi.z]))
+        coefficient-leading (16, rows, lanes) blocks + index planes.
+        Explicit ``psi_table``/``prof_table`` substitute the equilibrium's
+        tables (the table_grads path differentiates through this gather:
+        its vjp is the scatter-add onto the global tables)."""
+        eq_ = eq
+        if psi_table is not None:
+            import dataclasses
+            eq_ = dataclasses.replace(eq, psi_coeffs=psi_table,
+                                      profile_coeffs=prof_table)
+        feq = eq_.freeze_cells(jnp.stack([hi.x, hi.y, hi.z]))
         psi = feq.psi_block.T.reshape(16, rows, LANES)
         prof = feq.prof_block.reshape(n, 16).T.reshape(16, rows, LANES)
         iu = feq.iu.reshape(rows, LANES)
@@ -362,12 +428,12 @@ def make_frozen_window_step(eq, dispersion: Callable, *, method="rk2",
     spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0))
     cspec = pl.BlockSpec((16, block_rows, LANES), lambda i: (0, i, 0))
 
-    def _fwd_impl(leaves):
+    def _fwd_impl(leaves, psi_table=None, prof_table=None):
         """Gather + forward window kernel over flat (n,) leaves."""
         n = leaves[0].shape[0]
         rows = _rows_of(n)
         hi = RayState(*leaves[:8])
-        tiles = _tiles(hi, n, rows)
+        tiles = _tiles(hi, n, rows, psi_table, prof_table)
         shaped = [a.reshape(rows, LANES) for a in leaves]
         ns = len(shaped)
         outs = pl.pallas_call(
@@ -421,6 +487,58 @@ def make_frozen_window_step(eq, dispersion: Callable, *, method="rk2",
 
     window8.defvjp(window8_fwd, window8_bwd)
 
+    # -- table-gradient variant: the spline tables are explicit primal
+    # inputs, so cotangents flow back onto them (config5: grads of
+    # absorbed power w.r.t. the psi tables).  The backward kernel emits
+    # per-ray BLOCK cotangents; the freeze gather's vjp (jax.vjp over
+    # _tiles) scatter-adds them into the global tables.
+    bwd_tab_kernel = functools.partial(
+        _window_bwd_tab_kernel, dispersion=dispersion, method=method,
+        dt=dt, steps=freeze_every, base=eq)
+
+    @jax.custom_vjp
+    def windowt(leaves, psi_table, prof_table):
+        return _fwd_impl(list(leaves), psi_table, prof_table)
+
+    def windowt_fwd(leaves, psi_table, prof_table):
+        return (windowt(leaves, psi_table, prof_table),
+                (leaves, psi_table, prof_table))
+
+    def windowt_bwd(res, cts):
+        leaves, psi_table, prof_table = res
+        n = leaves[0].shape[0]
+        rows = _rows_of(n)
+        hi = RayState(*leaves)
+        tiles, gather_vjp = jax.vjp(
+            lambda pt, qt: _tiles(hi, n, rows, pt, qt),
+            psi_table, prof_table)
+        shaped = [a.reshape(rows, LANES) for a in leaves]
+        cshaped = [jnp.asarray(c, hi.x.dtype).reshape(rows, LANES)
+                   for c in cts]
+        params = (None if interpret else
+                  pltpu.CompilerParams(vmem_limit_bytes=100 * 2 ** 20))
+        outs = pl.pallas_call(
+            bwd_tab_kernel,
+            grid=(rows // block_rows,),
+            in_specs=[spec] * 8 + [cspec, cspec] + [spec] * 3 + [spec] * 8,
+            out_specs=[spec] * 8 + [cspec, cspec],
+            out_shape=([jax.ShapeDtypeStruct((rows, LANES),
+                                             hi.x.dtype)] * 8
+                       + [jax.ShapeDtypeStruct((16, rows, LANES),
+                                               hi.x.dtype)] * 2),
+            interpret=interpret,
+            compiler_params=params,
+        )(*shaped, *tiles, *cshaped)
+        d_leaves = tuple(o.reshape(n) for o in outs[:8])
+        # scatter the block cotangents into the tables (iu/jv/pidx carry
+        # zero cotangent: frozen integer indices)
+        zero = jnp.zeros((rows, LANES), hi.x.dtype)
+        d_psi_table, d_prof_table = gather_vjp(
+            (outs[8], outs[9], zero, zero, zero))
+        return d_leaves, d_psi_table, d_prof_table
+
+    windowt.defvjp(windowt_fwd, windowt_bwd)
+
     def window(carry):
         if compensated:
             # compensated stays forward-only: the TwoSum error extraction
@@ -432,6 +550,9 @@ def make_frozen_window_step(eq, dispersion: Callable, *, method="rk2",
             leaves = list(hi) + list(carry.lo)
             flat = _fwd_impl(leaves)
             return CompCarry(RayState(*flat[:8]), RayState(*flat[8:]))
+        if table_grads:
+            return RayState(*windowt(tuple(carry), eq.psi_coeffs,
+                                     eq.profile_coeffs))
         return RayState(*window8(*carry))
 
     def step(carry):

@@ -167,6 +167,17 @@ class Solver:
     # remains forward-only.
     pallas_window: bool = False
     pallas_block_rows: int = 32
+    # With pallas_window: thread the equilibrium's spline tables through
+    # the window custom_vjp as explicit primal inputs, so reverse mode
+    # also produces TABLE gradients (backward kernel emits per-ray block
+    # cotangents; the freeze gather's transpose scatter-adds them into
+    # the tables) - the config5 capability (grads of absorbed power
+    # w.r.t. the psi tables).  Default False: the launch-state-only
+    # backward kernel skips the 32 block-cotangent output tiles.  If the
+    # tables are differentiated with pallas_table_grads=False, jax
+    # raises its closed-over-tracer custom_vjp error rather than
+    # silently returning zero table grads.
+    pallas_table_grads: bool = False
 
     def __post_init__(self):
         if self.method not in set(STEPPERS) | {"adaptive_rk4"}:
@@ -200,6 +211,10 @@ class Solver:
                     "window kernel's custom_vjp already checkpoints at "
                     "substep granularity in VMEM; set "
                     "remat_substeps=False")
+            if self.pallas_table_grads and self.compensated:
+                raise ValueError(
+                    "pallas_table_grads needs the differentiable "
+                    "(non-compensated) window step")
 
     # -- single recorded step (sub_steps integrator steps, jitted) --------
     def is_adaptive(self):
@@ -262,6 +277,7 @@ class Solver:
                 sub_steps=self.sub_steps, freeze_every=self.freeze_every,
                 block_rows=self.pallas_block_rows,
                 compensated=self.compensated,
+                table_grads=self.pallas_table_grads,
                 interpret=jax.default_backend() != "tpu")
 
         rhs = make_ray_rhs(self.dispersion, self.eq,

@@ -139,6 +139,31 @@ def test_window_kernel_gradient_matches_xla_frozen(eq, state, method, k):
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-10, f
 
 
+def test_window_kernel_table_gradients(eq, state):
+    """pallas_table_grads: spline-TABLE cotangents through the window
+    kernel (backward kernel emits per-ray block cotangents; the freeze
+    gather's transpose scatter-adds them into the tables) must match the
+    XLA frozen path's table gradients."""
+    import dataclasses
+    sub = jax.tree.map(lambda a: a[:256], state)
+
+    def loss_fn(pallas):
+        def loss(psi_coeffs):
+            eq2 = dataclasses.replace(eq, psi_coeffs=psi_coeffs)
+            sol = Solver(cold_plasma, eq2, method="rk2", dt=1e-4,
+                         sub_steps=10, frozen_cells=True, freeze_every=5,
+                         pallas_window=pallas, pallas_block_rows=2,
+                         pallas_table_grads=pallas)
+            s = sol.run(sub, 2)
+            return jnp.sum(s.x) + jnp.sum(s.kx)
+        return loss
+
+    g_ref = jax.jit(jax.grad(loss_fn(False)))(eq.psi_coeffs)
+    g_ker = jax.jit(jax.grad(loss_fn(True)))(eq.psi_coeffs)
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    assert float(jnp.max(jnp.abs(g_ref - g_ker))) / scale < 1e-10
+
+
 def test_pad_rays(eq, state):
     sub = jax.tree.map(lambda a: a[:100], state)   # 100 not a tile multiple
     padded, n = pad_rays(sub, block_rows=2)
