@@ -37,6 +37,18 @@ The dispersion algebra inside the kernel is the very same Python the XLA
 path traces (models/rays.make_ray_rhs, models/dispersion.*,
 ops/integrators.*, ops/compensated.*) - only the equilibrium view and the
 launch mechanics differ; parity is pinned by tests/test_pallas_efit_step.
+
+REVERSE MODE: the non-compensated window carries a ``jax.custom_vjp``
+whose backward is itself a VMEM-resident kernel (``_window_bwd_kernel``:
+in-kernel checkpointed recompute + per-substep ``jax.vjp``), so
+``jax.grad`` through whole traces runs at kernel speed - 495.7M fwd+bwd
+ray-steps/s full duration vs 36.2M for the best XLA remat path
+(BENCH_GRAD_r05).  ``table_grads=True`` additionally threads the spline
+tables through the custom_vjp and scatter-adds the backward kernel's
+per-ray block cotangents into them (``_window_bwd_tab_kernel``;
+config5's table gradients at 77.75M, 5.1x the XLA path).  The reference
+has no reverse-mode capability (its symbolic ``df`` differentiates the
+step expression, not the trace).
 """
 
 from __future__ import annotations
